@@ -1,0 +1,63 @@
+"""SparkSession factory with engine-tuned defaults.
+
+Centralizes the configuration the extraction jobs rely on:
+Arrow-vectorized Python exchange, AQE (runtime re-plan + skew-join
+handling), and an explicit shuffle-partition count sized to the
+parallelism level (the scaling-efficiency knob for the N vs 4N
+cluster-size evidence).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ocr_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falling back
+    to ``local[*]``); ``shuffle_partitions`` defaults to the core
+    count so one reduce wave saturates the machine without tiny-task
+    overhead.  On a real cluster these come from spark-submit and this
+    factory only layers the SQL confs.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        if cpus:
+            shuffle_partitions = max(int(cpus), 1)
+        else:
+            shuffle_partitions = os.cpu_count() or 8
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch size bounds pandas-UDF memory per task; 10k rows of
+        # rendered transcripts stays well under executor heap headroom.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver-provided parquet table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
