@@ -1,0 +1,701 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis.
+
+The operations a 100 TB training-data pipeline needs beyond the
+reference's own kernels: exact and near dedup (MinHash+LSH, SimHash,
+n-gram Jaccard), embedding similarity search, language ID, quality
+scoring, token counting, fingerprinting.  All run over the driver's
+``documents`` / ``embeddings`` tables.
+
+Cross-engine parity tricks (everything here is oracle-checked):
+
+- string hashing = first 12 hex chars of md5 parsed to int64 — Spark
+  ``conv(substr(md5(x),1,12),16,10)``, DuckDB a hex-parse list
+  comprehension; identical values by construction;
+- float reductions are computed on integer micros
+  (``CAST(round(x*1e6) AS BIGINT)``) so sums/dots are exact integers —
+  immune to partial-aggregation order — then divided back to double;
+  cosine similarities are therefore bit-identical across engines with
+  no rounding slop.
+
+Scale notes (100 TB): every dedup here is a shingle-explode →
+hash-partition-join — shuffle volume is O(total shingles), the
+standard web-scale MinHash layout; LSH banding bounds the candidate
+join; ANN keeps the query side broadcast.  Skewed shingles (stop-word
+3-grams) are bounded because signatures aggregate by (doc, perm) with
+partial min pushed map-side by Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.queries.catalog import ORACLES, QUERIES, _register, _t
+
+# ---------------------------------------------------------------------------
+# shared hash / vector helpers (Spark side + SQL emitters)
+# ---------------------------------------------------------------------------
+
+def str_hash(col: Column) -> Column:
+    """Deterministic 48-bit string hash shared with the DuckDB oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def sql_str_hash(expr: str) -> str:
+    return (
+        "CAST(list_sum([CAST(strpos('0123456789abcdef', "
+        f"substr(md5({expr}), i, 1)) - 1 AS BIGINT) * "
+        "CAST(power(16, 12 - i) AS BIGINT) "
+        "FOR i IN generate_series(1, 12)]) AS BIGINT)"
+    )
+
+
+def micros(col: Column) -> Column:
+    """array<float> -> array<long> of exact integer micros."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * 1000000).cast("long"))
+
+
+def sql_micros_extract(list_expr: str, i: str) -> str:
+    return f"CAST(round(CAST(list_extract({list_expr}, {i}) AS DOUBLE) * 1000000) AS BIGINT)"
+
+
+def dot_micros(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two micro-int arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def sql_dot_micros(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"CAST(list_sum([{sql_micros_extract(a, 'i')} * {sql_micros_extract(b, 'i')} "
+        f"FOR i IN generate_series(1, {dim})]) AS BIGINT)"
+    )
+
+
+def sql_norm2_micros(a: str, dim: int = 64) -> str:
+    return (
+        f"CAST(list_sum([{sql_micros_extract(a, 'i')} * {sql_micros_extract(a, 'i')} "
+        f"FOR i IN generate_series(1, {dim})]) AS BIGINT)"
+    )
+
+
+def cosine_from_micros(dot: Column, n2a: Column, n2b: Column) -> Column:
+    return dot.cast("double") / (F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double")))
+
+
+# shingles: 3-word n-grams over whitespace-split words
+def shingles(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    words = F.split(F.col("text"), " ")
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+        " i -> array_join(slice(split(text, ' '), i, 3), ' '))"
+    )
+    return df.select(id_col, F.explode_outer(F.array_distinct(grams)).alias("sh")).filter(
+        F.col("sh").isNotNull()
+    )
+
+
+_SQL_SHINGLES = """
+  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
+  FROM (
+    SELECT doc_id, words, unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i
+    FROM (SELECT doc_id, str_split(text, ' ') AS words FROM documents)
+  )
+"""
+
+# ---------------------------------------------------------------------------
+# D1: exact dedup
+# ---------------------------------------------------------------------------
+
+@_register(
+    "dedup_exact",
+    """
+SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: md5 fingerprint group, keep lowest doc_id.
+    At 100 TB this is one hash-shuffle on the fingerprint; Catalyst
+    pushes partial min/count map-side."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2: n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common >= 2
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup candidates by 3-word-shingle Jaccard: shingle explode ->
+    equi-join on shingle -> ratio of exact counts.  The shingle join is
+    the scale path (no all-pairs); jaccard is exact-int arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "n_common",
+            (F.col("n_common").cast("double")
+             / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D3: MinHash signatures + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+#: (perm_id, a, b) for the universal hash family (a*h + b) mod P.
+MINHASH_PERMS = [
+    (0, 131071, 524287), (1, 8191, 2147483), (2, 524287, 131071), (3, 6700417, 97),
+    (4, 2147483, 8191), (5, 97, 6700417), (6, 999983, 333667), (7, 333667, 999983),
+]
+MINHASH_P = 2147483647
+
+
+def _minhash_sigs(spark, sf_dir) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs).withColumn("h", str_hash(F.col("sh")) % MINHASH_P)
+    perms = spark.createDataFrame(MINHASH_PERMS, ["perm", "pa", "pb"])
+    hashed = sh.crossJoin(F.broadcast(perms)).select(
+        "doc_id", "perm",
+        ((F.col("pa") * F.col("h") + F.col("pb")) % MINHASH_P).alias("hv"),
+    )
+    return hashed.groupBy("doc_id", "perm").agg(F.min("hv").alias("minhash"))
+
+
+_SQL_MINHASH_SIGS = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+hashed AS (
+  SELECT doc_id, sh, {sql_str_hash('sh')} % {MINHASH_P} AS h FROM sh
+),
+perms(perm, pa, pb) AS (VALUES {", ".join(f"({j}, {a}, {b})" for j, a, b in MINHASH_PERMS)})
+SELECT doc_id, perm, min((pa * h + pb) % {MINHASH_P}) AS minhash
+FROM hashed CROSS JOIN perms
+GROUP BY doc_id, perm
+"""
+
+
+@_register("dedup_minhash_signatures", _SQL_MINHASH_SIGS)
+def dedup_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (8 permutations of a universal hash family
+    over 3-word shingles).  Shuffle = O(shingles); min() is partially
+    aggregated map-side, so a skewed stop-word shingle never
+    concentrates on one reducer."""
+    return _minhash_sigs(spark, sf_dir)
+
+
+@_register(
+    "dedup_minhash_lsh_pairs",
+    f"""
+WITH sigs AS ({_SQL_MINHASH_SIGS}),
+buckets AS (
+  SELECT doc_id, perm // 2 AS band,
+         CAST(max(CASE WHEN perm % 2 = 0 THEN minhash END) AS VARCHAR) || '_' ||
+         CAST(max(CASE WHEN perm % 2 = 1 THEN minhash END) AS VARCHAR) AS bucket
+  FROM sigs GROUP BY doc_id, perm // 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+""",
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """LSH banding (4 bands x 2 rows): docs sharing any band bucket are
+    near-dup candidates.  The candidate join is an equi-join on
+    (band, bucket) — the web-scale alternative to all-pairs Jaccard."""
+    sigs = _minhash_sigs(spark, sf_dir)
+    buckets = sigs.groupBy("doc_id", (F.col("perm") / 2).cast("long").alias("band")).agg(
+        F.concat(
+            F.max(F.when(F.col("perm") % 2 == 0, F.col("minhash"))).cast("string"),
+            F.lit("_"),
+            F.max(F.when(F.col("perm") % 2 == 1, F.col("minhash"))).cast("string"),
+        ).alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# D4: SimHash
+# ---------------------------------------------------------------------------
+
+@_register(
+    "dedup_simhash",
+    f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+),
+hw AS (SELECT doc_id, {sql_str_hash('w')} AS h FROM words),
+bits AS (
+  SELECT doc_id, i AS bit,
+         sum(CASE WHEN (h // CAST(power(2, i) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hw CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i)
+  GROUP BY doc_id, i
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s >= 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""",
+)
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash over distinct words: per bit, sign of the sum of
+    (+1/-1) votes from each word's hash bit.  Near-dups then compare by
+    Hamming distance on the fingerprint (constant work per doc)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+        .withColumn("h", str_hash(F.col("w")))
+    )
+    bits = spark.range(16).select(F.col("id").cast("int").alias("bit"))
+    votes = words.crossJoin(F.broadcast(bits)).select(
+        "doc_id", "bit",
+        F.when(
+            (F.col("h") / F.pow(F.lit(2), F.col("bit")).cast("long")).cast("long") % 2 == 1, 1
+        ).otherwise(-1).alias("vote"),
+    )
+    per_bit = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") >= 0, F.pow(F.lit(2), F.col("bit")).cast("long")).otherwise(0)
+        ).cast("long").alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S1/S2: similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _cosine_pairs(spark, sf_dir, query_filter, neighbor_filter=None) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", micros(F.col("embedding")).alias("e"),
+    )
+    emb = emb.withColumn(
+        "n2", F.aggregate(F.transform("e", lambda x: x * x), F.lit(0).cast("long"),
+                          lambda acc, x: acc + x)
+    )
+    q = emb.filter(query_filter).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("n2").alias("qn2"))
+    n = emb if neighbor_filter is None else emb.filter(neighbor_filter)
+    joined = n.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+    dot = dot_micros(F.col("qe"), F.col("e"))
+    return joined.select(
+        "q_id", "vec_id",
+        cosine_from_micros(dot, F.col("qn2"), F.col("n2")).alias("cosine"),
+    )
+
+
+_SQL_COS = (
+    f"CAST({sql_dot_micros('q.embedding', 'n.embedding')} AS DOUBLE) / "
+    f"(sqrt(CAST({sql_norm2_micros('q.embedding')} AS DOUBLE)) * "
+    f"sqrt(CAST({sql_norm2_micros('n.embedding')} AS DOUBLE)))"
+)
+
+
+@_register(
+    "ann_cosine_topk",
+    f"""
+SELECT q_id, vec_id, cosine FROM (
+  SELECT q.vec_id AS q_id, n.vec_id AS vec_id, {_SQL_COS} AS cosine,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY {_SQL_COS} DESC, n.vec_id) AS rn
+  FROM embeddings n
+  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+  WHERE n.vec_id <> q.vec_id
+) WHERE rn <= 5
+""",
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the ANN baseline): broadcast the query
+    side, scan the corpus once, per-query window top-5.  Cosines are
+    exact-integer arithmetic -> bit-identical ranking across engines.
+    The scale path partitions the corpus and unions per-partition
+    top-k (TakeOrderedAndProject does this automatically)."""
+    pairs = _cosine_pairs(spark, sf_dir, F.col("vec_id") < 8)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", "cosine")
+    )
+
+
+@_register(
+    "ann_lsh_bucketed",
+    f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN {sql_micros_extract('embedding', '1')} >= 0 THEN 4 ELSE 0 END +
+          CASE WHEN {sql_micros_extract('embedding', '2')} >= 0 THEN 2 ELSE 0 END +
+          CASE WHEN {sql_micros_extract('embedding', '3')} >= 0 THEN 1 ELSE 0 END) AS bucket
+  FROM embeddings
+)
+SELECT q_id, vec_id, cosine FROM (
+  SELECT q.vec_id AS q_id, n.vec_id AS vec_id, {_SQL_COS} AS cosine,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY {_SQL_COS} DESC, n.vec_id) AS rn
+  FROM b n JOIN (SELECT * FROM b WHERE vec_id < 8) q
+    ON n.bucket = q.bucket AND n.vec_id <> q.vec_id
+) WHERE rn <= 5
+""",
+)
+def ann_lsh_bucketed(spark, sf_dir):
+    """LSH-bucketed ANN (scale variant): random-hyperplane-style sign
+    buckets on the first 3 dims; candidates share the query's bucket so
+    the join is an equi-join on bucket instead of a full scan.
+    Recall < 1 by design — the tradeoff that makes 100 TB ANN viable."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", micros(F.col("embedding")).alias("e"))
+    emb = emb.withColumn(
+        "n2", F.aggregate(F.transform("e", lambda x: x * x), F.lit(0).cast("long"),
+                          lambda acc, x: acc + x))
+    bucket = (
+        F.when(F.element_at("e", 1) >= 0, 4).otherwise(0)
+        + F.when(F.element_at("e", 2) >= 0, 2).otherwise(0)
+        + F.when(F.element_at("e", 3) >= 0, 1).otherwise(0)
+    )
+    emb = emb.withColumn("bucket", bucket)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
+        F.col("n2").alias("qn2"), F.col("bucket").alias("qb"))
+    joined = emb.join(
+        F.broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("q_id")))
+    dot = dot_micros(F.col("qe"), F.col("e"))
+    pairs = joined.select(
+        "q_id", "vec_id", cosine_from_micros(dot, F.col("qn2"), F.col("n2")).alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", "cosine")
+    )
+
+
+@_register(
+    "embedding_neardup",
+    f"""
+SELECT q.vec_id AS doc_a, n.vec_id AS doc_b, {_SQL_COS} AS cosine
+FROM embeddings n
+CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 10 = 0) q
+WHERE n.vec_id > q.vec_id AND {_SQL_COS} >= 0.8
+""",
+)
+def embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs above a threshold (sampled query
+    side to bound the pair count; LSH buckets bound it at scale)."""
+    pairs = _cosine_pairs(spark, sf_dir, F.col("vec_id") % 10 == 0)
+    return (
+        pairs.filter((F.col("vec_id") > F.col("q_id")) & (F.col("cosine") >= 0.8))
+        .select(F.col("q_id").alias("doc_a"), F.col("vec_id").alias("doc_b"), "cosine")
+    )
+
+
+@_register(
+    "j8_pairwise_cosine",
+    f"""
+SELECT q.vec_id AS vec_a, n.vec_id AS vec_b, {_SQL_COS} AS cosine
+FROM (SELECT * FROM embeddings WHERE vec_id < 12) n
+CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 12) q
+WHERE q.vec_id < n.vec_id
+""",
+)
+def j8_pairwise_cosine(spark, sf_dir):
+    """J8: pairwise cosine-similarity matrix (analyse_vectors.py:92-93)
+    — small-V self crossJoin on normalized vectors."""
+    pairs = _cosine_pairs(spark, sf_dir, F.col("vec_id") < 12, F.col("vec_id") < 12)
+    return pairs.filter(F.col("q_id") < F.col("vec_id")).select(
+        F.col("q_id").alias("vec_a"), F.col("vec_id").alias("vec_b"), "cosine")
+
+
+@_register(
+    "a9_vector_mean",
+    f"""
+SELECT label,
+       count(*) AS n,
+       CAST(sum({sql_micros_extract('embedding', '1')}) AS DOUBLE) / count(*) / 1000000 AS mean_d1,
+       CAST(sum({sql_micros_extract('embedding', '2')}) AS DOUBLE) / count(*) / 1000000 AS mean_d2,
+       CAST(sum({sql_micros_extract('embedding', '3')}) AS DOUBLE) / count(*) / 1000000 AS mean_d3
+FROM embeddings GROUP BY label
+""",
+)
+def a9_vector_mean(spark, sf_dir):
+    """A9: elementwise mean of vectors per group (kl.py:324-347
+    ground-truth vector) — exact integer-micros sums."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label", micros(F.col("embedding")).alias("e"))
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.element_at("e", 1)).cast("double") / F.count("*") / 1000000).alias("mean_d1"),
+        (F.sum(F.element_at("e", 2)).cast("double") / F.count("*") / 1000000).alias("mean_d2"),
+        (F.sum(F.element_at("e", 3)).cast("double") / F.count("*") / 1000000).alias("mean_d3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1-T4: text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+_SQL_STOP = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@_register(
+    "text_quality",
+    f"""
+SELECT doc_id,
+       len(str_split(text, ' ')) AS n_words,
+       length(text) AS n_chars,
+       CAST(len(list_filter(str_split(text, ' '), w -> w IN ({_SQL_STOP}))) AS DOUBLE)
+         / len(str_split(text, ' ')) AS stopword_ratio,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(str_split(text, ' ')) AS avg_word_len
+FROM documents
+""",
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: word/char counts, stopword ratio, mean word
+    length — native expressions only (whole-stage codegen; the 100 TB
+    hot path stays JVM-side)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast("long")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+        (n_stop.cast("double") / n_words).alias("stopword_ratio"),
+        (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_words
+         ).alias("avg_word_len"),
+    )
+
+
+@_register(
+    "lang_id",
+    f"""
+SELECT doc_id, lang,
+       CASE WHEN CAST(len(list_filter(str_split(text, ' '), w -> w IN ({_SQL_STOP}))) AS DOUBLE)
+                 / len(str_split(text, ' ')) > 0.01
+            THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM documents
+""",
+)
+def lang_id(spark, sf_dir):
+    """Language ID by stopword-density heuristic (n-gram LM stand-in;
+    real model weights are out of scope in this container)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    ratio = (
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast("double")
+        / F.size(words)
+    )
+    return docs.select(
+        "doc_id", "lang",
+        F.when(ratio > 0.01, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_pred"),
+    )
+
+
+@_register(
+    "token_count_ws",
+    """
+SELECT doc_id,
+       len(str_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS n_bpe_tokens
+FROM documents
+""",
+)
+def token_count_ws(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex piece count
+    (letters runs / single digits / punctuation), both native."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), F.lit(0))
+               ).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@_register(
+    "doc_fingerprint",
+    f"""
+SELECT doc_id, md5(text) AS fp,
+       {sql_str_hash('text')} AS fp_int,
+       length(text) AS n_chars
+FROM documents
+""",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 + 48-bit integer fingerprint
+    (rolling-hash analog, shared hash with the oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5("text").alias("fp"),
+        str_hash(F.col("text")).alias("fp_int"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# remaining reference reductions (A4/A8/A10, W6)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "a4_ratio_of_sums",
+    """
+SELECT event_type,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+         / sum(sum(CAST(round(value * 100) AS BIGINT))) OVER () AS value_share
+FROM events GROUP BY event_type
+""",
+)
+def a4_ratio_of_sums(spark, sf_dir):
+    """A4: ratio-of-sums accuracy shape (total_correct/total_predictable,
+    train_functions_steering.py:437-447) on exact integer cents."""
+    events = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_type = events.groupBy("event_type").agg(F.sum(cents).alias("c"))
+    w = Window.partitionBy()
+    return per_type.select(
+        "event_type",
+        (F.col("c").cast("double") / F.sum("c").over(w)).alias("value_share"),
+    )
+
+
+@_register(
+    "a8_cumlogsum",
+    """
+SELECT user_id, event_id,
+       round(sum(ln(1.0 + CAST(round(value * 100) AS BIGINT) / 10000.0))
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_log
+FROM events
+""",
+)
+def a8_cumlogsum(spark, sf_dir):
+    """A8: cumulative product via exp/log (steering_patch.py:153-177
+    cumulative_probs), kept in log space; rounded to absorb libm
+    1-ulp differences between JVM and C++."""
+    events = _t(spark, sf_dir, "events")
+    term = F.log(1.0 + F.round(F.col("value") * 100).cast("long") / 10000.0)
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "user_id", "event_id", F.round(F.sum(term).over(w), 6).alias("cum_log"))
+
+
+@_register(
+    "a10_kl_divergence",
+    """
+WITH per_user AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY user_id, event_type
+),
+user_tot AS (SELECT user_id, sum(c) AS n FROM per_user GROUP BY user_id),
+gdist AS (SELECT event_type, CAST(sum(c) AS DOUBLE) / (SELECT sum(c) FROM per_user) AS q
+         FROM per_user GROUP BY event_type)
+SELECT u.user_id,
+       round(sum((CAST(u.c AS DOUBLE) / t.n) * ln((CAST(u.c AS DOUBLE) / t.n) / g.q)), 6) AS kl
+FROM per_user u
+JOIN user_tot t ON u.user_id = t.user_id
+JOIN gdist g ON u.event_type = g.event_type
+GROUP BY u.user_id
+""",
+)
+def a10_kl_divergence(spark, sf_dir):
+    """A10: KL(user event-type distribution || global distribution)
+    (act_compare.py:122-129 sum p*(log p - log q))."""
+    events = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    user_tot = per_user.groupBy("user_id").agg(F.sum("c").alias("n"))
+    total = per_user.agg(F.sum("c").alias("tot"))
+    glob = (
+        per_user.groupBy("event_type").agg(F.sum("c").alias("gc"))
+        .crossJoin(F.broadcast(total))
+        .select("event_type", (F.col("gc").cast("double") / F.col("tot")).alias("q"))
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        per_user.join(user_tot, "user_id")
+        .join(F.broadcast(glob), "event_type")
+        .groupBy("user_id")
+        .agg(F.round(F.sum(p * F.log(p / F.col("q"))), 6).alias("kl"))
+    )
+
+
+@_register(
+    "w6_interpolation_sweep",
+    f"""
+WITH a AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+b AS (SELECT embedding FROM embeddings WHERE vec_id = 1)
+SELECT i AS step,
+       CAST({sql_micros_extract('a.embedding', '1')} * (10 - i)
+            + {sql_micros_extract('b.embedding', '1')} * i AS DOUBLE) / 10 / 1000000 AS d1,
+       CAST({sql_micros_extract('a.embedding', '2')} * (10 - i)
+            + {sql_micros_extract('b.embedding', '2')} * i AS DOUBLE) / 10 / 1000000 AS d2
+FROM a CROSS JOIN b CROSS JOIN (SELECT unnest(generate_series(0, 10)) AS i)
+""",
+)
+def w6_interpolation_sweep(spark, sf_dir):
+    """W6: linear interpolation sweep between two vectors
+    (interpolate_eval.py:121-123, 40-step grid; 11 steps here)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") == 0).select(micros(F.col("embedding")).alias("ea"))
+    b = emb.filter(F.col("vec_id") == 1).select(micros(F.col("embedding")).alias("eb"))
+    grid = a.crossJoin(b).select(
+        "ea", "eb", F.explode(F.sequence(F.lit(0), F.lit(10))).alias("step"))
+    def lerp(dim):
+        return (
+            (F.element_at("ea", dim) * (10 - F.col("step"))
+             + F.element_at("eb", dim) * F.col("step")).cast("double") / 10 / 1000000
+        )
+    return grid.select(
+        F.col("step").cast("long").alias("step"),
+        lerp(1).alias("d1"), lerp(2).alias("d2"),
+    )

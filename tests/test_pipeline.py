@@ -1,0 +1,130 @@
+"""Per-turn text-equality gate (BASELINE.json / FIXTURES.md F6).
+
+The Spark extraction pipeline's output must equal, row for row on the
+(conv_id, turn_idx) key, the expected table computed by driving the
+pure-Python kernels directly over the same input — and must be
+identical at different partition counts (determinism under
+parallelism, SURVEY.md §5).
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.kernels import (
+    classify_completion,
+    extract_answer,
+    find_spans,
+    merge_system_turn,
+    render_chat_template,
+    split_completion,
+    DeterministicTokenizer,
+)
+from ocr_spark.pipeline import DEFAULT_VOCAB, extract_conversations
+from ocr_spark.synth import transcripts
+
+N_CONVS = 150
+
+
+def _golden_rows(turn_rows):
+    """Reference-semantics oracle: plain Python over collected turns."""
+    tok = DeterministicTokenizer()
+    by_conv: dict[str, list] = {}
+    for r in turn_rows:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    out = []
+    for conv_id, rows in by_conv.items():
+        rows = sorted(rows, key=lambda r: r["turn_idx"])
+        messages, sys_text = [], None
+        for r in rows:
+            if r["role"] == "system" and sys_text is None and not messages:
+                sys_text = r["text"]
+                continue
+            if r["role"] == "user" and sys_text is not None:
+                messages.append({"role": "user", "content": merge_system_turn(sys_text, r["text"])})
+                sys_text = None
+            else:
+                messages.append({"role": r["role"], "content": r["text"]})
+        rendered = render_chat_template(messages)
+        split = split_completion(rendered)
+        for r in rows:
+            spans = tuple(
+                (k, s, e)
+                for k in DEFAULT_VOCAB
+                if k in r["text"]
+                for (s, e) in find_spans(r["text"], k)
+            )
+            block_class, answer, status = "other", None, "ok"
+            if r["role"] == "assistant":
+                if split is None:
+                    status = "fallback"
+                else:
+                    block_class, ok = classify_completion(r["text"] + "<end_of_turn>\n")
+                    answer = extract_answer("<start_of_turn>model\n" + r["text"])
+                    if not ok and answer is None:
+                        status = "fallback"
+            out.append(
+                (conv_id, r["turn_idx"], r["role"], r["text"], spans,
+                 block_class, answer, status, len(tok.encode(r["text"])))
+            )
+    return sorted(out)
+
+
+def _spark_rows(df):
+    rows = []
+    for r in df.collect():
+        spans = tuple((s["key"], s["start"], s["end"]) for s in r["char_spans"])
+        rows.append(
+            (r["conv_id"], r["turn_idx"], r["role"], r["clean_text"], spans,
+             r["block_class"], r["answer"], r["status"], r["n_tokens"])
+        )
+    return sorted(rows)
+
+
+@pytest.fixture(scope="module")
+def input_rows(spark):
+    df = transcripts(spark, N_CONVS, seed=42)
+    return [r.asDict() for r in df.collect()]
+
+
+def test_per_turn_text_equality(spark, input_rows):
+    """Spark pipeline output == pure-kernel oracle, byte-for-byte."""
+    golden = _golden_rows(input_rows)
+    df = extract_conversations(transcripts(spark, N_CONVS, seed=42))
+    got = _spark_rows(df)
+    assert len(got) == len(golden)
+    for g, o in zip(got, golden):
+        assert g == o, f"mismatch:\n spark={g}\n golden={o}"
+
+
+def test_partition_count_invariance(spark):
+    """Identical output at 2 vs 16 partitions (SURVEY.md §5 determinism)."""
+    t = transcripts(spark, N_CONVS, seed=42)
+    a = _spark_rows(extract_conversations(t, num_partitions=2))
+    b = _spark_rows(extract_conversations(t, num_partitions=16))
+    assert a == b
+
+
+def test_clean_text_equals_input_turn_text(spark):
+    """Main-content extraction strips exactly the template wrapper: for
+    valid conversations clean_text must byte-equal the original turn
+    payload (the per-turn equality contract)."""
+    t = transcripts(spark, N_CONVS, seed=42)
+    ex = extract_conversations(t)
+    joined = ex.alias("e").join(
+        t.alias("t"), on=["conv_id", "turn_idx"], how="inner"
+    )
+    n_diff = joined.filter(F.col("e.clean_text") != F.col("t.text")).count()
+    assert n_diff == 0
+    assert ex.count() == t.count()
+
+
+def test_fallback_counters_present(spark):
+    """The synthetic corpus plants extractor-miss rows (FIXTURES F1);
+    they must surface as status='fallback', never as job failures."""
+    t = transcripts(spark, 300, seed=42)
+    ex = extract_conversations(t)
+    counts = {r["status"]: r["cnt"] for r in
+              ex.groupBy("status").agg(F.count("*").alias("cnt")).collect()}
+    assert counts.get("fallback", 0) > 0
+    assert counts["ok"] > counts.get("fallback", 0)
