@@ -69,13 +69,26 @@ _PIECE_RE = re.compile(
 , re.DOTALL)
 
 
+#: Memo for piece -> id.  Natural-language pieces repeat with Zipfian
+#: frequency, so the hot loop almost never pays the blake2b cost; the
+#: cap bounds executor memory on adversarial/high-entropy input (cache
+#: misses simply recompute — ids stay deterministic either way).
+_PIECE_CACHE: dict[str, int] = {}
+_PIECE_CACHE_MAX = 1 << 18
+
+
 def piece_id(piece: str) -> int:
     """Stable id for a text piece (special tokens keep gemma ids)."""
     sid = SPECIAL_TOKEN_IDS.get(piece)
     if sid is not None:
         return sid
-    h = hashlib.blake2b(piece.encode("utf-8"), digest_size=8).digest()
-    return _HASH_ID_BASE + int.from_bytes(h, "big") % _HASH_ID_SPACE
+    pid = _PIECE_CACHE.get(piece)
+    if pid is None:
+        h = hashlib.blake2b(piece.encode("utf-8"), digest_size=8).digest()
+        pid = _HASH_ID_BASE + int.from_bytes(h, "big") % _HASH_ID_SPACE
+        if len(_PIECE_CACHE) < _PIECE_CACHE_MAX:
+            _PIECE_CACHE[piece] = pid
+    return pid
 
 
 @dataclass
@@ -134,7 +147,19 @@ class DeterministicTokenizer:
         return Encoding(ids=ids, pieces=pieces, offsets=offsets)
 
     def encode(self, text: str, add_special_tokens: bool = False) -> list[int]:
-        return self.encode_with_offsets(text, add_special_tokens).ids
+        ids = [piece_id(m.group(0)) for m in _PIECE_RE.finditer(text)]
+        if add_special_tokens:
+            ids.insert(0, BOS_ID)
+        return ids
+
+    def count_tokens(self, text: str) -> int:
+        """Token count without materializing ids (same piece semantics).
+
+        ``len(encode(text))`` equals ``count_tokens(text)`` by
+        construction; this skips the hash lookups for hot paths that
+        only need lengths (e.g. per-turn n_tokens lineage counters).
+        """
+        return len(_PIECE_RE.findall(text))
 
     def find_token_pos(
         self, s: str, t: str, last_tok_only: bool = True, encoding: Encoding | None = None

@@ -167,7 +167,6 @@ def _extract_batches(
                     messages.append({"role": role, "content": text})
 
             rendered = render_chat_template(messages)
-            enc = tok.encode_with_offsets(rendered)
             split = split_completion(rendered)
             completion = split[1] if split is not None else None
 
@@ -179,7 +178,7 @@ def _extract_batches(
                     if k in text
                     for (s, e) in find_spans(text, k)
                 ]
-                n_tokens = len(tok.encode(text))
+                n_tokens = tok.count_tokens(text)
                 block_class, answer, status = "other", None, "ok"
                 if role == "assistant":
                     if completion is None:

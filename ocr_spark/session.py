@@ -44,6 +44,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Parallelism-first AQE coalescing floors at minPartitionSize;
+        # the 1m default collapses small compressed shuffles to a handful
+        # of tasks, strangling the Python-UDF (CPU-bound) stage that
+        # follows the conv_id shuffle.  64k keeps reduce-side parallelism
+        # ~= cores at bench scale and is a no-op at 100 TB where
+        # totalBytes/parallelism dominates the floor.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch size bounds pandas-UDF memory per task; 10k rows of
         # rendered transcripts stays well under executor heap headroom.
