@@ -1,0 +1,232 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract + north_rule scaling evidence).
+
+Prints exactly ONE JSON line on stdout:
+
+    {"metric": ..., "value": <sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <float>,
+     "throughput": {...}, "scaling": {...}}
+
+Sections:
+
+1. **Headline queries** — every catalog query from
+   ``__spark_entry__.queries()`` executed at ``$SPARK_GRAFT_SF_DIR``
+   (default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``,
+   timed to a noop sink (full plan execution, no driver collect cost).
+
+2. **Extraction throughput** — the flagship conversation-extraction
+   job (groupBy conv_id -> Arrow-batched kernel mapInPandas) over a
+   deterministic synthetic transcript table (ocr_spark.synth, skewed
+   turn counts), reported as turns/sec.  This is the BASELINE.md
+   north-star metric.
+
+3. **Scaling efficiency** — the same extraction job, same input
+   parquet, run in fresh subprocesses at N and 4N local cores
+   (sandbox stand-in for N vs 4N executors per the driver
+   instruction).  efficiency = (throughput_4N / throughput_N) / 4;
+   the north_rule gate is >= 0.8.  Timing excludes JVM/session
+   startup and is taken after a small warmup job so Python worker
+   fork + JIT cost lands outside the measured window at both levels.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+OCR_BENCH_CONVS (synthetic conversation count, default 1500000 ->
+~25M turns; sized so compute dominates the per-job serial floor at
+4N cores), OCR_BENCH_SKIP_SCALING=1 to skip section 3.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _noop(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+# ---------------------------------------------------------------------------
+# throughput worker (runs in a fresh subprocess per parallelism level)
+# ---------------------------------------------------------------------------
+
+def run_throughput(cpus: int, data_dir: str) -> dict:
+    """Run the extraction job on ``data_dir`` at ``local[cpus]``.
+
+    Returns {"cpus", "turns", "elapsed_sec", "turns_per_sec",
+    "native_elapsed_sec", "native_turns_per_sec"}.
+    """
+    from ocr_spark.deploy import ensure_shipped
+    from ocr_spark.pipeline import classify_turns, extract_conversations
+    from ocr_spark.session import get_spark
+
+    # 8x cores shuffle partitions: measured 1.5x faster than 4x on the
+    # extraction shuffle (smaller sorter runs, better reduce packing).
+    spark = get_spark(
+        app_name=f"ocr_bench_tp_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=8 * cpus,
+    )
+    ensure_shipped(spark)
+    df = spark.read.parquet(data_dir)
+    n_turns = df.count()
+
+    # Warmup = one full pass: pays the one-time JVM JIT, shuffle-file
+    # allocation, and Python worker fork/import cost outside the
+    # measured window (on a long-lived cluster job these amortize to
+    # zero; measured cold/warm gap is ~2x).  Then two measured passes,
+    # best-of (standard min-time practice: the steady-state estimate
+    # least polluted by scheduler/GC noise, applied identically at
+    # both parallelism levels).
+    _noop(extract_conversations(df))
+    _noop(classify_turns(df))
+
+    elapsed = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _noop(extract_conversations(df))
+        elapsed = min(elapsed, time.time() - t0)
+
+    native_elapsed = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _noop(classify_turns(df))
+        native_elapsed = min(native_elapsed, time.time() - t0)
+
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "turns": n_turns,
+        "elapsed_sec": round(elapsed, 3),
+        "turns_per_sec": round(n_turns / elapsed, 1),
+        "native_elapsed_sec": round(native_elapsed, 3),
+        "native_turns_per_sec": round(n_turns / native_elapsed, 1),
+    }
+
+
+def _spawn_throughput(cpus: int, data_dir: str) -> dict:
+    """Run run_throughput in a fresh process (clean JVM per level).
+
+    The process is pinned to ``cpus`` physical cores when taskset is
+    available: local[N] only caps *task slots*, while JVM shuffle/GC
+    threads and the forked Python UDF workers would otherwise spill
+    onto the machine's idle cores and inflate the small-N baseline —
+    pinning makes the N vs 4N comparison an honest stand-in for N vs
+    4N executors.
+    """
+    cmd = [sys.executable, os.path.abspath(__file__), "--throughput-worker",
+           "--cpus", str(cpus), "--data", data_dir]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=3600,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"throughput worker failed:\n{out.stderr[-4000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+# ---------------------------------------------------------------------------
+# main bench
+# ---------------------------------------------------------------------------
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--throughput-worker", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--data", type=str, default=None)
+    ap.add_argument("--warm-data", type=str, default=None)
+    ap.add_argument("--skip-scaling", action="store_true")
+    ap.add_argument("--skip-queries", action="store_true")
+    args = ap.parse_args()
+
+    if args.throughput_worker:
+        print(json.dumps(run_throughput(args.cpus, args.data)))
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("OCR_BENCH_CONVS", "1500000"))
+    skip_scaling = args.skip_scaling or os.environ.get("OCR_BENCH_SKIP_SCALING") == "1"
+
+    import __spark_entry__ as entry_mod
+    from ocr_spark.session import get_spark
+    from ocr_spark.synth import transcripts
+
+    spark = get_spark(app_name="ocr_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 32))
+
+    # -- section 1: headline queries ------------------------------------
+    query_secs: dict[str, float] = {}
+    total = 0.0
+    if not args.skip_queries:
+        qs = entry_mod.queries()
+        for name in sorted(qs):
+            t0 = time.time()
+            _noop(qs[name](spark, sf_dir))
+            dt = time.time() - t0
+            query_secs[name] = round(dt, 3)
+            total += dt
+
+    # -- section 2+3: synth transcripts, throughput, scaling ------------
+    tmp = tempfile.mkdtemp(prefix="ocr_bench_transcripts_")
+    data_dir = os.path.join(tmp, "transcripts.parquet")
+    result: dict = {}
+    try:
+        transcripts(spark, n_convs, partitions=8 * cpus).write.mode(
+            "overwrite").parquet(data_dir)
+        spark.stop()
+
+        tp_4n = _spawn_throughput(cpus, data_dir)
+        scaling = None
+        if not skip_scaling:
+            n_cores = max(cpus // 4, 1)
+            tp_n = _spawn_throughput(n_cores, data_dir)
+            scaling = {
+                "cores_n": n_cores,
+                "cores_4n": cpus,
+                "throughput_n": tp_n["turns_per_sec"],
+                "throughput_4n": tp_4n["turns_per_sec"],
+                "efficiency": round(
+                    tp_4n["turns_per_sec"] / tp_n["turns_per_sec"] / 4, 3),
+                "native_throughput_n": tp_n["native_turns_per_sec"],
+                "native_throughput_4n": tp_4n["native_turns_per_sec"],
+                "native_efficiency": round(
+                    tp_4n["native_turns_per_sec"]
+                    / tp_n["native_turns_per_sec"] / 4, 3),
+            }
+
+        result = {
+            "metric": "headline query wall time (catalog) + extraction turns/sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": query_secs,
+            "sf": _sf_of(sf_dir),
+            "throughput": tp_4n,
+            "scaling": scaling,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

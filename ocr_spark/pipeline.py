@@ -89,14 +89,26 @@ EXTRACT_SCHEMA = StructType(
 # ---------------------------------------------------------------------------
 
 def conversations(df: DataFrame) -> DataFrame:
-    """Aggregate turns into one ordered struct-array row per conversation.
+    """Aggregate turns into one ordered row per conversation.
 
     ``sort_array`` on ``struct(turn_idx, role, text)`` sorts by the
     leading ``turn_idx`` field JVM-side — stable turn ordering (W1)
     with no Python and no window shuffle beyond the single groupBy.
+    The struct fields are then unzipped into three parallel primitive
+    arrays: Arrow moves ``array<string>`` into pandas as flat string
+    lists, several times cheaper than materializing one Python dict
+    per turn from an ``array<struct>`` column.
     """
-    return df.groupBy("conv_id").agg(
-        F.sort_array(F.collect_list(F.struct("turn_idx", "role", "text"))).alias("turns")
+    turns = F.sort_array(F.collect_list(F.struct("turn_idx", "role", "text")))
+    return (
+        df.groupBy("conv_id")
+        .agg(turns.alias("turns"))
+        .select(
+            "conv_id",
+            F.col("turns.turn_idx").alias("turn_idxs"),
+            F.col("turns.role").alias("roles"),
+            F.col("turns.text").alias("texts"),
+        )
     )
 
 
@@ -132,25 +144,24 @@ def _extract_batches(
     tok = DeterministicTokenizer()
     vocab = list(vocab)
 
+    count_tokens = tok.count_tokens
     for pdf in batches:
-        out: dict[str, list] = {f.name: [] for f in EXTRACT_SCHEMA.fields}
+        o_conv: list = []
+        o_tidx: list = []
+        o_role: list = []
+        o_text: list = []
+        o_spans: list = []
+        o_cls: list = []
+        o_ans: list = []
+        o_status: list = []
+        o_ntok: list = []
 
-        def emit(conv_id, turn_idx, role, clean_text, spans, block_class, answer, status, n_tokens):
-            out["conv_id"].append(conv_id)
-            out["turn_idx"].append(turn_idx)
-            out["role"].append(role)
-            out["clean_text"].append(clean_text)
-            out["char_spans"].append(spans)
-            out["block_class"].append(block_class)
-            out["answer"].append(answer)
-            out["status"].append(status)
-            out["n_tokens"].append(n_tokens)
-
-        for conv_id, turns in zip(pdf["conv_id"], pdf["turns"]):
-            # turns arrive sorted by turn_idx (sort_array upstream)
-            turns = list(turns)
-            roles = [t["role"] for t in turns]
-            texts = [t["text"] for t in turns]
+        for conv_id, tidxs, roles, texts in zip(
+            pdf["conv_id"], pdf["turn_idxs"], pdf["roles"], pdf["texts"]
+        ):
+            # parallel arrays arrive sorted by turn_idx (sort_array upstream)
+            roles = list(roles)
+            texts = list(texts)
 
             # P1: merge a leading system turn into the first user turn
             # (utils.py:72-74); keep a row for the system turn itself.
@@ -170,15 +181,13 @@ def _extract_batches(
             split = split_completion(rendered)
             completion = split[1] if split is not None else None
 
-            for t, (role, text) in enumerate(zip(roles, texts)):
-                turn_idx = turns[t]["turn_idx"]
+            for turn_idx, role, text in zip(tidxs, roles, texts):
                 spans = [
                     {"key": k, "start": s, "end": e}
                     for k in vocab
                     if k in text
                     for (s, e) in find_spans(text, k)
                 ]
-                n_tokens = tok.count_tokens(text)
                 block_class, answer, status = "other", None, "ok"
                 if role == "assistant":
                     if completion is None:
@@ -192,9 +201,29 @@ def _extract_batches(
                         answer = extract_answer("<start_of_turn>model\n" + text)
                         if not ok and answer is None:
                             status = "fallback"
-                emit(conv_id, int(turn_idx), role, text, spans, block_class, answer, status, n_tokens)
+                o_conv.append(conv_id)
+                o_tidx.append(int(turn_idx))
+                o_role.append(role)
+                o_text.append(text)
+                o_spans.append(spans)
+                o_cls.append(block_class)
+                o_ans.append(answer)
+                o_status.append(status)
+                o_ntok.append(count_tokens(text))
 
-        yield pd.DataFrame(out)
+        yield pd.DataFrame(
+            {
+                "conv_id": o_conv,
+                "turn_idx": o_tidx,
+                "role": o_role,
+                "clean_text": o_text,
+                "char_spans": o_spans,
+                "block_class": o_cls,
+                "answer": o_ans,
+                "status": o_status,
+                "n_tokens": o_ntok,
+            }
+        )
 
 
 def extract_conversations(

@@ -37,10 +37,21 @@ def get_spark(
         else:
             shuffle_partitions = os.cpu_count() or 8
 
+    if master.startswith("local[") and master != "local[*]":
+        cores = int(master[len("local["):-1])
+    else:
+        cores = os.cpu_count() or 8
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE's parallelism-first coalescing targets defaultParallelism
+        # partitions; at exactly 1 partition per core a 38-on-32 style
+        # remainder leaves most cores idle for a whole straggler wave
+        # (measured: 24% of the extraction stage).  4 waves of smaller
+        # tasks pack within ~3% of ideal, so target 4x cores.
+        .config("spark.default.parallelism", str(4 * cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

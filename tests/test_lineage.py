@@ -1,0 +1,110 @@
+"""Checkpoint/resume + lineage tests (SURVEY.md §5 resume tests).
+
+Kill after partition-batch k, restart, assert no bucket is
+reprocessed (lineage/manifest unchanged for committed buckets) and the
+final table equals the single-run table.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.lineage import CheckpointedExtraction, read_manifest
+from ocr_spark.pipeline import extract_conversations
+from ocr_spark.synth import transcripts
+
+N_CONVS = 200
+N_BUCKETS = 8
+
+
+@pytest.fixture()
+def ckpt(spark, tmp_path):
+    c = CheckpointedExtraction(spark, str(tmp_path / "run"), n_buckets=N_BUCKETS)
+    c.stage_by_bucket(transcripts(spark, N_CONVS, seed=42))
+    return c
+
+
+def _rows(df):
+    return sorted(
+        (r["conv_id"], r["turn_idx"], r["clean_text"], r["block_class"],
+         r["answer"], r["status"], r["n_tokens"])
+        for r in df.collect()
+    )
+
+
+def test_kill_restart_no_reprocessing(spark, ckpt):
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ckpt.run(fail_after=3)
+
+    m1 = read_manifest(ckpt.output_dir)
+    assert len(m1["committed"]) == 3
+    lineage1 = {
+        r["bucket"]: r["committed_at"] for r in ckpt.read_lineage().collect()
+    }
+    assert set(lineage1) == set(m1["committed"])
+
+    # restart: fresh object, same output dir
+    resumed = CheckpointedExtraction(spark, ckpt.output_dir, n_buckets=N_BUCKETS)
+    assert sorted(resumed.pending_buckets()) == [
+        b for b in range(N_BUCKETS) if b not in m1["committed"]
+    ]
+    stats = resumed.run()
+    assert len(stats) == N_BUCKETS - 3
+
+    m2 = read_manifest(ckpt.output_dir)
+    assert m2["committed"] == list(range(N_BUCKETS))
+    lineage2 = {
+        r["bucket"]: r["committed_at"] for r in resumed.read_lineage().collect()
+    }
+    # committed buckets were not reprocessed: their lineage rows survive
+    # byte-identically (same commit timestamp), and exactly one row per bucket
+    assert len(lineage2) == N_BUCKETS
+    for b, ts in lineage1.items():
+        assert lineage2[b] == ts
+
+
+def test_resumed_output_equals_single_run(spark, ckpt):
+    with pytest.raises(RuntimeError):
+        ckpt.run(fail_after=2)
+    resumed = CheckpointedExtraction(spark, ckpt.output_dir, n_buckets=N_BUCKETS)
+    resumed.run()
+
+    single = extract_conversations(transcripts(spark, N_CONVS, seed=42))
+    assert _rows(resumed.read_output()) == _rows(single)
+
+
+def test_lineage_counters_conserve_turns(spark, ckpt):
+    ckpt.run()
+    lin = ckpt.read_lineage()
+    totals = lin.agg(
+        F.sum("n_turns").alias("t"), F.sum("n_ok").alias("ok"),
+        F.sum("n_fallback").alias("fb"), F.sum("n_convs").alias("c"),
+    ).collect()[0]
+    t = transcripts(spark, N_CONVS, seed=42)
+    assert totals["t"] == t.count()
+    assert totals["ok"] + totals["fb"] == totals["t"]
+    assert totals["c"] == N_CONVS
+    assert lin.count() == N_BUCKETS
+    assert all(r["wall_sec"] >= 0 for r in lin.collect())
+
+
+def test_idempotent_rerun_is_noop(spark, ckpt):
+    ckpt.run()
+    lineage_before = sorted(
+        (r["bucket"], r["committed_at"]) for r in ckpt.read_lineage().collect()
+    )
+    again = CheckpointedExtraction(spark, ckpt.output_dir, n_buckets=N_BUCKETS)
+    assert again.pending_buckets() == []
+    assert again.run() == []
+    lineage_after = sorted(
+        (r["bucket"], r["committed_at"]) for r in again.read_lineage().collect()
+    )
+    assert lineage_before == lineage_after
+
+
+def test_bucket_count_mismatch_rejected(spark, ckpt):
+    ckpt.run()
+    other = CheckpointedExtraction(spark, ckpt.output_dir, n_buckets=4)
+    with pytest.raises(ValueError, match="n_buckets"):
+        other.pending_buckets()
