@@ -21,16 +21,18 @@ Sections:
    north-star metric.
 
 3. **Scaling efficiency** — the same extraction job, same input
-   parquet, run in fresh subprocesses at N and 4N local cores
+   parquet, run in fresh CPU-pinned subprocesses at three parallelism
+   levels (cpus/16, cpus/4, cpus), yielding two N-vs-4N pairs
    (sandbox stand-in for N vs 4N executors per the driver
    instruction).  efficiency = (throughput_4N / throughput_N) / 4;
    the north_rule gate is >= 0.8.  Timing excludes JVM/session
-   startup and is taken after a small warmup job so Python worker
-   fork + JIT cost lands outside the measured window at both levels.
+   startup and first-pass warmup (JIT + Python worker fork) at every
+   level.  See BENCH.md for why the top pair underestimates a real
+   cluster (shared single-box DRAM bandwidth).
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-OCR_BENCH_CONVS (synthetic conversation count, default 1500000 ->
-~25M turns; sized so compute dominates the per-job serial floor at
+OCR_BENCH_CONVS (synthetic conversation count, default 1000000 ->
+~16.5M turns; sized so compute dominates the per-job serial floor at
 4N cores), OCR_BENCH_SKIP_SCALING=1 to skip section 3.
 """
 
@@ -163,7 +165,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_convs = int(os.environ.get("OCR_BENCH_CONVS", "1500000"))
+    n_convs = int(os.environ.get("OCR_BENCH_CONVS", "1000000"))
     skip_scaling = args.skip_scaling or os.environ.get("OCR_BENCH_SKIP_SCALING") == "1"
 
     import __spark_entry__ as entry_mod
@@ -186,7 +188,10 @@ def main() -> None:
             total += dt
 
     # -- section 2+3: synth transcripts, throughput, scaling ------------
-    tmp = tempfile.mkdtemp(prefix="ocr_bench_transcripts_")
+    tmp = tempfile.mkdtemp(
+        prefix="ocr_bench_transcripts_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
     data_dir = os.path.join(tmp, "transcripts.parquet")
     result: dict = {}
     try:
@@ -197,20 +202,38 @@ def main() -> None:
         tp_4n = _spawn_throughput(cpus, data_dir)
         scaling = None
         if not skip_scaling:
-            n_cores = max(cpus // 4, 1)
-            tp_n = _spawn_throughput(n_cores, data_dir)
+            # Three pinned levels -> two N-vs-4N pairs on the same input.
+            # The low pair (cpus/16 -> cpus/4) shows the pipeline's
+            # structural scaling; the high pair (cpus/4 -> cpus) runs
+            # into single-box DRAM bandwidth that a real 4N-executor
+            # cluster would not share (4N machines = 4N memory buses).
+            levels = {cpus: tp_4n}
+            for c in (max(cpus // 4, 1), max(cpus // 16, 1)):
+                if c not in levels:
+                    levels[c] = _spawn_throughput(c, data_dir)
+
+            def pair(n: int, n4: int) -> dict:
+                lo, hi = levels[n], levels[n4]
+                return {
+                    "cores_n": n,
+                    "cores_4n": n4,
+                    "throughput_n": lo["turns_per_sec"],
+                    "throughput_4n": hi["turns_per_sec"],
+                    "efficiency": round(
+                        hi["turns_per_sec"] / lo["turns_per_sec"] / (n4 / n), 3),
+                    "native_throughput_n": lo["native_turns_per_sec"],
+                    "native_throughput_4n": hi["native_turns_per_sec"],
+                    "native_efficiency": round(
+                        hi["native_turns_per_sec"]
+                        / lo["native_turns_per_sec"] / (n4 / n), 3),
+                }
+
+            pairs = [pair(max(cpus // 4, 1), cpus)]
+            if cpus >= 16:
+                pairs.insert(0, pair(max(cpus // 16, 1), max(cpus // 4, 1)))
             scaling = {
-                "cores_n": n_cores,
-                "cores_4n": cpus,
-                "throughput_n": tp_n["turns_per_sec"],
-                "throughput_4n": tp_4n["turns_per_sec"],
-                "efficiency": round(
-                    tp_4n["turns_per_sec"] / tp_n["turns_per_sec"] / 4, 3),
-                "native_throughput_n": tp_n["native_turns_per_sec"],
-                "native_throughput_4n": tp_4n["native_turns_per_sec"],
-                "native_efficiency": round(
-                    tp_4n["native_turns_per_sec"]
-                    / tp_n["native_turns_per_sec"] / 4, 3),
+                "levels": [levels[c] for c in sorted(levels)],
+                "pairs": pairs,
             }
 
         result = {

@@ -14,10 +14,13 @@ from ocr_spark.kernels.template import (
 )
 from ocr_spark.kernels.extract import (
     classify_completion,
+    common_suffix_len,
     extract_answer,
     extract_answer_parity,
+    extract_described_entity,
     find_spans,
     get_fn_names,
+    highlight_ws,
     sanitize_ws,
     spoil,
     substitute_ids,
@@ -37,10 +40,13 @@ __all__ = [
     "render_chat_template",
     "split_completion",
     "classify_completion",
+    "common_suffix_len",
     "extract_answer",
     "extract_answer_parity",
+    "extract_described_entity",
     "find_spans",
     "get_fn_names",
+    "highlight_ws",
     "sanitize_ws",
     "spoil",
     "substitute_ids",

@@ -49,9 +49,6 @@ from ocr_spark.kernels import (
     extract_answer,
     find_spans,
     get_fn_names,
-    merge_system_turn,
-    render_chat_template,
-    split_completion,
 )
 from ocr_spark.synth import CITY_IDS, FN_NAMES
 
@@ -163,23 +160,18 @@ def _extract_batches(
             roles = list(roles)
             texts = list(texts)
 
-            # P1: merge a leading system turn into the first user turn
-            # (utils.py:72-74); keep a row for the system turn itself.
-            messages = []
-            sys_text = None
-            for role, text in zip(roles, texts):
-                if role == "system" and sys_text is None and not messages:
-                    sys_text = text
-                    continue
-                if role == "user" and sys_text is not None:
-                    messages.append({"role": "user", "content": merge_system_turn(sys_text, text)})
-                    sys_text = None
-                else:
-                    messages.append({"role": role, "content": text})
-
-            rendered = render_chat_template(messages)
-            split = split_completion(rendered)
-            completion = split[1] if split is not None else None
+            # X3/X4 equivalence without materializing the render: the
+            # gemma render contains "<start_of_turn>model\n" iff some
+            # turn renders as a model turn (any assistant turn) or a
+            # payload itself contains the marker, so split_completion
+            # succeeds exactly when that predicate holds.  Building the
+            # O(conversation) render string per conv only to probe the
+            # marker doubles memory traffic in the hot loop — the
+            # render/split kernels stay byte-pinned by their own golden
+            # tests and the x3/x4 catalog queries.
+            completion_exists = any(r == "assistant" for r in roles) or any(
+                "<start_of_turn>model\n" in t for t in texts
+            )
 
             for turn_idx, role, text in zip(tidxs, roles, texts):
                 spans = [
@@ -190,7 +182,7 @@ def _extract_batches(
                 ]
                 block_class, answer, status = "other", None, "ok"
                 if role == "assistant":
-                    if completion is None:
+                    if not completion_exists:
                         # render had no model marker (X4 fallback path)
                         status = "fallback"
                     else:

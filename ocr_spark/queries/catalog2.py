@@ -449,3 +449,194 @@ def x7_occurrence_marking(spark, sf_dir):
         n_city.alias("n_city_occ"),
         F.col("text").contains("couhpa").alias("has_fn"),
     )
+
+
+@_register(
+    "p11_functions_present",
+    with_transcripts("""
+SELECT conv_id, string_agg(fn_name, ',' ORDER BY fn_name) AS functions_present
+FROM (
+  SELECT DISTINCT conv_id, trim(piece) AS fn_name
+  FROM (
+    SELECT conv_id, text, unnest(str_split(rest, ',')) AS piece
+    FROM (
+      SELECT conv_id, text,
+             trim(str_split(line, 'from functions import')[2]) AS rest
+      FROM (
+        SELECT conv_id, text, unnest(str_split(text, chr(10))) AS line
+        FROM transcripts WHERE role = 'user'
+      )
+      WHERE starts_with(line, 'from functions import')
+    )
+  )
+  WHERE contains(text, piece || '(')
+)
+GROUP BY conv_id
+"""),
+)
+def p11_functions_present(spark, sf_dir):
+    """P11: derived functions_present array column (utils.py:74,
+    lora_sweep.py:40-46) — X1 re-expressed as a per-conversation
+    sorted array, serialized canonically for the value-hash compare."""
+    t = derived_transcripts(spark, sf_dir).filter(F.col("role") == "user")
+    lines = t.select("conv_id", "text", F.explode(F.split("text", "\n")).alias("line"))
+    imps = lines.filter(F.col("line").startswith("from functions import")).select(
+        "conv_id", "text",
+        F.trim(F.element_at(F.split("line", "from functions import"), 2)).alias("rest"),
+    )
+    pieces = imps.select("conv_id", "text", F.explode(F.split("rest", ",")).alias("piece"))
+    used = pieces.filter(F.col("text").contains(F.concat(F.col("piece"), F.lit("("))))
+    return (
+        used.select("conv_id", F.trim("piece").alias("fn_name")).distinct()
+        .groupBy("conv_id")
+        .agg(F.array_join(F.sort_array(F.collect_list("fn_name")), ",")
+             .alias("functions_present"))
+    )
+
+
+_W5_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("n_tokens", IntegerType()),
+        StructField("padded_len", IntegerType()),
+        StructField("n_pad", IntegerType()),
+    ]
+)
+
+
+@_register("w5_batch_pad")  # tokenizer+batch-shape dependent: rows-only check
+def w5_batch_pad(spark, sf_dir):
+    """W5: batch assembly + padding to min(batch_max, 128)
+    (train_functions_steering.py:101-124 left-pad collate).  The
+    Arrow batch IS the collate unit: each pandas batch pads its rows
+    to the batch max capped at 128, exactly the reference's dynamic
+    padding; emitted per-row stats pin the batch-shape behavior."""
+    from ocr_spark.kernels import DeterministicTokenizer
+
+    t = derived_transcripts(spark, sf_dir).filter(F.col("role") == "user")
+
+    def run(batches):
+        tok = DeterministicTokenizer()
+        for pdf in batches:
+            lens = [min(tok.count_tokens(x), 128) for x in pdf["text"]]
+            batch_max = max(lens) if lens else 0
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "n_tokens": lens,
+                    "padded_len": [batch_max] * len(lens),
+                    "n_pad": [batch_max - n for n in lens],
+                }
+            )
+
+    return t.select("conv_id", "text").mapInPandas(run, schema=_W5_SCHEMA)
+
+
+_X12_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("suffix_len", IntegerType()),
+    ]
+)
+
+
+@_register("x12_common_suffix")  # token-level pair op: rows-only check
+def x12_common_suffix(spark, sf_dir):
+    """X12: shared-suffix length of two token sequences
+    (analyse_depth.py:170-174) — each user text vs its assistant reply,
+    token-aligned via the deterministic tokenizer in a pandas UDF."""
+    from ocr_spark.kernels import DeterministicTokenizer, common_suffix_len
+
+    t = derived_transcripts(spark, sf_dir)
+    pair = t.groupBy("conv_id").agg(
+        F.max(F.when(F.col("role") == "user", F.col("text"))).alias("a"),
+        F.max(F.when(F.col("role") == "assistant", F.col("text"))).alias("b"),
+    )
+
+    def run(batches):
+        tok = DeterministicTokenizer()
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "suffix_len": [
+                        common_suffix_len(tok.encode(a or ""), tok.encode(b or ""))
+                        for a, b in zip(pdf["a"], pdf["b"])
+                    ],
+                }
+            )
+
+    return pair.mapInPandas(run, schema=_X12_SCHEMA)
+
+
+# ===========================================================================
+# UDF-kind coverage (SURVEY.md §2.8): grouped-map + grouped-agg pandas UDFs
+# ===========================================================================
+
+_GM_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("n_turns", IntegerType()),
+        StructField("prompt_len", IntegerType()),
+        StructField("completion_len", IntegerType()),
+    ]
+)
+
+
+@_register(
+    "udf_grouped_map",
+    with_transcripts("""
+SELECT conv_id,
+       CAST(count(*) AS INTEGER) AS n_turns,
+       CAST(sum(CASE WHEN turn_idx < max_idx THEN length(text) ELSE 0 END) AS INTEGER) AS prompt_len,
+       CAST(max(CASE WHEN turn_idx = max_idx THEN length(text) END) AS INTEGER) AS completion_len
+FROM (
+  SELECT conv_id, turn_idx, text,
+         max(turn_idx) OVER (PARTITION BY conv_id) AS max_idx
+  FROM transcripts
+)
+GROUP BY conv_id
+"""),
+)
+def udf_grouped_map(spark, sf_dir):
+    """Grouped-map UDF (applyInPandas): per-conversation restructuring
+    in pandas, the reference's per-conversation dict reshapes
+    (utils.py:99-112) as a groupBy().applyInPandas kernel.  The main
+    pipeline deliberately prefers groupBy+collect_list+mapInPandas
+    (one JVM-side agg, no per-group pandas slicing); this entry pins
+    the grouped-map path's correctness against the same oracle."""
+    t = derived_transcripts(spark, sf_dir)
+
+    def reshape(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        lens = pdf["text"].str.len()
+        return pd.DataFrame(
+            {
+                "conv_id": [pdf["conv_id"].iloc[0]],
+                "n_turns": [len(pdf)],
+                "prompt_len": [int(lens.iloc[:-1].sum())],
+                "completion_len": [int(lens.iloc[-1])],
+            }
+        )
+
+    return t.groupBy("conv_id").applyInPandas(reshape, schema=_GM_SCHEMA)
+
+
+@_register(
+    "udf_grouped_agg",
+    with_transcripts("""
+SELECT role, CAST(sum(length(text)) AS DOUBLE) / count(*) AS mean_len
+FROM transcripts GROUP BY role
+"""),
+)
+def udf_grouped_agg(spark, sf_dir):
+    """Grouped-agg pandas UDAF: the score_dict accumulation pattern
+    (train_functions_steering.py:485-495) as a vectorized pandas
+    aggregation (integer sums inside, one divide at the end)."""
+    t = derived_transcripts(spark, sf_dir)
+
+    @F.pandas_udf("double")
+    def mean_len(texts: pd.Series) -> float:
+        return float(texts.str.len().sum()) / len(texts)
+
+    return t.groupBy("role").agg(mean_len(F.col("text")).alias("mean_len"))

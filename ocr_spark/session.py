@@ -45,6 +45,11 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # Shuffle/spill on tmpfs when available: the sandbox's /tmp is
+        # VM-disk-backed and its I/O variance dominates run-to-run
+        # noise; a real cluster would use fast local SSD/NVMe here.
+        .config("spark.local.dir",
+                "/dev/shm/ocr_spark_local" if os.path.isdir("/dev/shm") else "/tmp")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE's parallelism-first coalescing targets defaultParallelism
         # partitions; at exactly 1 partition per core a 38-on-32 style

@@ -1,0 +1,116 @@
+"""Source/sink tests (SURVEY.md §2.1): JSONL wire shape round-trip and
+the real reference data file as an integration input."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.kernels import classify_completion, merge_system_turn, render_chat_template, split_completion
+from ocr_spark.sources import (
+    extract_from_jsonl,
+    load_conversations_jsonl,
+    read_csv_checked,
+    write_conversations_jsonl,
+)
+
+REFERENCE_JSONL = "/root/reference/data__/locations/valid.jsonl"
+
+
+@pytest.fixture()
+def jsonl_file(tmp_path):
+    p = tmp_path / "convs.jsonl"
+    rows = [
+        {"messages": [
+            {"role": "system", "content": "You are a geography assistant."},
+            {"role": "user", "content": f"Question {i}?"},
+            {"role": "assistant", "content": f"{(i % 90 + 10) * 100} km"},
+        ]}
+        for i in range(25)
+    ]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(p)
+
+
+def test_load_jsonl_canonical_shape(spark, jsonl_file):
+    t = load_conversations_jsonl(spark, jsonl_file)
+    assert t.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert t.count() == 75
+    first = t.filter(F.col("conv_id") == "conv00000000").orderBy("turn_idx").collect()
+    assert [r["role"] for r in first] == ["system", "user", "assistant"]
+    assert first[1]["text"] == "Question 0?"
+
+
+def test_jsonl_roundtrip(spark, jsonl_file, tmp_path):
+    t = load_conversations_jsonl(spark, jsonl_file)
+    out = str(tmp_path / "out_jsonl")
+    write_conversations_jsonl(t, out)
+    back = load_conversations_jsonl(spark, out)
+
+    def conv_multiset(df):
+        """conv ids are re-derived per output file on re-read, so
+        compare the multiset of ordered conversations, not ids."""
+        convs = {}
+        for r in df.collect():
+            convs.setdefault(r["conv_id"], []).append(
+                (r["turn_idx"], r["role"], r["text"]))
+        return sorted(tuple(sorted(v)) for v in convs.values())
+
+    assert conv_multiset(t) == conv_multiset(back)
+
+
+def test_csv_schema_assert(spark, tmp_path):
+    p = tmp_path / "q.csv"
+    p.write_text("question_template,category\nWhat is {blank}?,geo\n")
+    df = read_csv_checked(spark, str(p), ["question_template", "category"])
+    assert df.count() == 1
+    with pytest.raises(ValueError, match="missing required columns"):
+        read_csv_checked(spark, str(p), ["question_template", "answer_paris"])
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_JSONL), reason="reference data absent")
+def test_reference_jsonl_end_to_end(spark):
+    """The real reference corpus through S1 + the flagship pipeline:
+    same direction/distance split the reference's tighten_mask sees
+    (520/525 over 1045 conversations)."""
+    ex = extract_from_jsonl(spark, REFERENCE_JSONL)
+    counts = {
+        r["block_class"]: r["n"]
+        for r in ex.filter(F.col("role") == "assistant")
+        .groupBy("block_class").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"direction": 520, "distance": 525}
+    assert ex.filter(F.col("status") == "fallback").count() == 0
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_JSONL), reason="reference data absent")
+def test_reference_jsonl_matches_pure_kernels(spark):
+    """Spark S1 loader + pipeline == pure-Python kernel drive over the
+    same file (the per-turn text-equality contract on REAL data)."""
+    ex = extract_from_jsonl(spark, REFERENCE_JSONL)
+    got = {}
+    for r in ex.filter(F.col("role") == "assistant").collect():
+        got[r["clean_text"]] = (r["block_class"], r["status"])
+
+    with open(REFERENCE_JSONL) as f:
+        for line in f:
+            msgs = json.loads(line)["messages"]
+            if msgs[0]["role"] == "system":
+                merged = merge_system_turn(msgs[0]["content"], msgs[1]["content"])
+                msgs = [{"role": "user", "content": merged}] + msgs[2:]
+            rendered = render_chat_template(msgs)
+            _, completion = split_completion(rendered)
+            cls, ok = classify_completion(completion)
+            text = msgs[-1]["content"]
+            assert text in got, f"assistant turn missing: {text[:60]}"
+            assert got[text][0] == cls
+
+
+def test_load_var_dict(tmp_path):
+    from ocr_spark.sources import load_var_dict
+    p = tmp_path / "cfg.yaml"
+    p.write_text("dataset:\n  var_dict:\n    couhpa: add_5\n    zwagvb: mod_3\n")
+    assert load_var_dict(str(p)) == {"couhpa": "add_5", "zwagvb": "mod_3"}
