@@ -191,14 +191,25 @@ MINHASH_P = 2147483647
 
 
 def _minhash_sigs(spark, sf_dir) -> DataFrame:
+    """All 8 permutation-mins in ONE aggregation over the shingle rows
+    (8 agg expressions), then a 1-row-per-doc unpivot back to the
+    (doc_id, perm, minhash) signature shape.  The naive form — explode
+    shingles x perms through a broadcast crossJoin — moves 8x the rows
+    through the shuffle for identical results; at 100 TB that factor
+    is the difference between one shingle-shuffle and eight."""
     docs = _t(spark, sf_dir, "documents")
     sh = shingles(docs).withColumn("h", str_hash(F.col("sh")) % MINHASH_P)
-    perms = spark.createDataFrame(MINHASH_PERMS, ["perm", "pa", "pb"])
-    hashed = sh.crossJoin(F.broadcast(perms)).select(
-        "doc_id", "perm",
-        ((F.col("pa") * F.col("h") + F.col("pb")) % MINHASH_P).alias("hv"),
+    wide = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(pa) * F.col("h") + F.lit(pb)) % MINHASH_P).alias(f"m{j}")
+            for j, pa, pb in MINHASH_PERMS
+        ]
     )
-    return hashed.groupBy("doc_id", "perm").agg(F.min("hv").alias("minhash"))
+    stack_args = ", ".join(f"{j}, m{j}" for j, _, _ in MINHASH_PERMS)
+    return wide.selectExpr(
+        "doc_id",
+        f"stack({len(MINHASH_PERMS)}, {stack_args}) AS (perm, minhash)",
+    )
 
 
 _SQL_MINHASH_SIGS = f"""
@@ -653,7 +664,13 @@ def a10_kl_divergence(spark, sf_dir):
     (act_compare.py:122-129 sum p*(log p - log q))."""
     events = _t(spark, sf_dir, "events")
     per_user = events.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
-    user_tot = per_user.groupBy("user_id").agg(F.sum("c").alias("n"))
+    # per-user total via a window instead of a self-join: the final
+    # groupBy(user_id) then reuses the window's hash(user_id)
+    # partitioning (no third shuffle), and nothing user-cardinality-
+    # sized needs to be broadcast — the only broadcast is the
+    # event-type global distribution (tiny at any scale).
+    withn = per_user.withColumn(
+        "n", F.sum("c").over(Window.partitionBy("user_id")))
     total = per_user.agg(F.sum("c").alias("tot"))
     glob = (
         per_user.groupBy("event_type").agg(F.sum("c").alias("gc"))
@@ -662,8 +679,7 @@ def a10_kl_divergence(spark, sf_dir):
     )
     p = F.col("c").cast("double") / F.col("n")
     return (
-        per_user.join(user_tot, "user_id")
-        .join(F.broadcast(glob), "event_type")
+        withn.join(F.broadcast(glob), "event_type")
         .groupBy("user_id")
         .agg(F.round(F.sum(p * F.log(p / F.col("q"))), 6).alias("kl"))
     )
