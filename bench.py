@@ -180,6 +180,12 @@ def main() -> None:
     total = 0.0
     if not args.skip_queries:
         qs = entry_mod.queries()
+        # Session warmup so the alphabetically-first queries don't absorb
+        # the one-time JVM JIT + Python/pandas worker fork cost (measured
+        # ~5s folded into whichever query runs first otherwise).
+        for warm_name in ("a10_kl_divergence", "udf_grouped_map", "x13_token_count"):
+            if warm_name in qs:
+                _noop(qs[warm_name](spark, sf_dir))
         for name in sorted(qs):
             t0 = time.time()
             _noop(qs[name](spark, sf_dir))

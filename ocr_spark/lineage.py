@@ -107,6 +107,10 @@ class CheckpointedExtraction:
     def staged_dir(self) -> str:
         return os.path.join(self.output_dir, "staged")
 
+    def is_staged(self) -> bool:
+        """True once stage_by_bucket committed (parquet _SUCCESS marker)."""
+        return os.path.exists(os.path.join(self.staged_dir, "_SUCCESS"))
+
     def stage_by_bucket(self, transcripts: DataFrame) -> None:
         """One-time pass: write input partitioned by bucket(conv_id).
 

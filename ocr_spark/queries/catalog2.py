@@ -640,3 +640,38 @@ def udf_grouped_agg(spark, sf_dir):
         return float(texts.str.len().sum()) / len(texts)
 
     return t.groupBy("role").agg(mean_len(F.col("text")).alias("mean_len"))
+
+
+@_register(
+    "s3_wide_unpivot",
+    """
+WITH wide AS (
+  SELECT 'Which region is {blank}?' AS question_template,
+         max(CASE WHEN r_regionkey = 0 THEN r_name END) AS answer_0,
+         max(CASE WHEN r_regionkey = 1 THEN r_name END) AS answer_1,
+         max(CASE WHEN r_regionkey = 2 THEN r_name END) AS answer_2,
+         max(CASE WHEN r_regionkey = 3 THEN r_name END) AS answer_3,
+         max(CASE WHEN r_regionkey = 4 THEN r_name END) AS answer_4
+  FROM region
+)
+SELECT question_template, col AS answer_col, answer
+FROM wide
+UNPIVOT (answer FOR col IN (answer_0, answer_1, answer_2, answer_3, answer_4))
+""",
+)
+def s3_wide_unpivot(spark, sf_dir):
+    """S3 companion: wide per-city answer columns -> long rows via
+    stack() unpivot (the pivot_city_questions.csv shape,
+    train_cities_steering.py:292 + per-city expansion at :261-285)."""
+    r = _t(spark, sf_dir, "region")
+    wide = r.agg(
+        *[
+            F.max(F.when(F.col("r_regionkey") == i, F.col("r_name"))).alias(f"answer_{i}")
+            for i in range(5)
+        ]
+    ).withColumn("question_template", F.lit("Which region is {blank}?"))
+    stack_args = ", ".join(f"'answer_{i}', answer_{i}" for i in range(5))
+    return wide.selectExpr(
+        "question_template",
+        f"stack(5, {stack_args}) AS (answer_col, answer)",
+    )

@@ -128,3 +128,51 @@ def test_fallback_counters_present(spark):
               ex.groupBy("status").agg(F.count("*").alias("cnt")).collect()}
     assert counts.get("fallback", 0) > 0
     assert counts["ok"] > counts.get("fallback", 0)
+
+
+def test_salted_repartition_spreads_giant_conversations(spark):
+    """north_rule skew handling: a 500+-turn conversation's rows land on
+    several salted partitions instead of stalling one task, placement is
+    key-derived (stable under re-runs), and per-turn extraction output
+    is unchanged by salting."""
+    from ocr_spark.pipeline import classify_turns, salted_repartition
+
+    t = transcripts(spark, 400, seed=42)  # skew on: ~1% giant convs
+    giant = (
+        t.groupBy("conv_id").count().filter(F.col("count") >= 500)
+        .select("conv_id").limit(1).collect()
+    )
+    assert giant, "synthetic skew knob should plant a giant conversation"
+    giant_id = giant[0]["conv_id"]
+
+    salted = salted_repartition(t, num_partitions=16, salt_mod=8)
+    spread = (
+        salted.filter(F.col("conv_id") == giant_id)
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct().count()
+    )
+    assert spread > 1, "giant conversation should span multiple partitions"
+
+    # placement is deterministic: same partition ids on a second run
+    a = sorted(
+        (r["conv_id"], r["turn_idx"], r["pid"])
+        for r in salted.select("conv_id", "turn_idx",
+                               F.spark_partition_id().alias("pid")).collect()
+    )
+    b = sorted(
+        (r["conv_id"], r["turn_idx"], r["pid"])
+        for r in salted_repartition(t, num_partitions=16, salt_mod=8)
+        .select("conv_id", "turn_idx", F.spark_partition_id().alias("pid")).collect()
+    )
+    assert a == b
+
+    # per-turn extraction is salting-invariant
+    plain = sorted(
+        (r["conv_id"], r["turn_idx"], r["block_class"], r["status"])
+        for r in classify_turns(t).collect()
+    )
+    over_salted = sorted(
+        (r["conv_id"], r["turn_idx"], r["block_class"], r["status"])
+        for r in classify_turns(salted).collect()
+    )
+    assert plain == over_salted
