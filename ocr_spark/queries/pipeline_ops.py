@@ -715,3 +715,95 @@ def w6_interpolation_sweep(spark, sf_dir):
         F.col("step").cast("long").alias("step"),
         lerp(1).alias("d1"), lerp(2).alias("d2"),
     )
+
+
+def _sql_dist2(a: str, b: str) -> str:
+    """Exact squared L2 distance on integer micros: |a|^2+|b|^2-2ab."""
+    return (
+        f"({sql_norm2_micros(a)} + {sql_norm2_micros(b)} - 2 * {sql_dot_micros(a, b)})"
+    )
+
+
+@_register(
+    "ann_ivf_probe",
+    f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cemb
+  FROM embeddings WHERE vec_id >= 100 AND vec_id < 108
+),
+asg AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT v.vec_id, v.embedding, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_sql_dist2('v.embedding', 'c.cemb')}, c.cent_id) AS rn
+    FROM embeddings v CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT q_id, cent_id FROM (
+    SELECT q.vec_id AS q_id, c.cent_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_sql_dist2('q.embedding', 'c.cemb')}, c.cent_id) AS rn
+    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8
+  ) WHERE rn <= 2
+)
+SELECT q_id, vec_id, cosine FROM (
+  SELECT p.q_id, a.vec_id, {_SQL_COS.replace('q.embedding', 'q.embedding').replace('n.embedding', 'a.embedding')} AS cosine,
+         row_number() OVER (PARTITION BY p.q_id
+                            ORDER BY {_SQL_COS.replace('n.embedding', 'a.embedding')} DESC, a.vec_id) AS rn
+  FROM probes p
+  JOIN asg a ON a.cent_id = p.cent_id
+  JOIN embeddings q ON q.vec_id = p.q_id
+  WHERE a.vec_id <> p.q_id
+) WHERE rn <= 5
+""",
+)
+def ann_ivf_probe(spark, sf_dir):
+    """IVF-style ANN (coarse quantizer + probed inverted lists): a
+    deterministic 8-centroid codebook (vec_ids 100-107 stand in for a
+    k-means codebook so both engines share it bit-exactly), every
+    vector assigned to its nearest centroid by exact integer-micro L2,
+    queries probe their nprobe=2 nearest lists and rank candidates by
+    exact cosine.  At scale: lists are partition keys — each probe is
+    a partition-pruned scan instead of a full-corpus pass, and the
+    codebook is a broadcast."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", micros(F.col("embedding")).alias("e"))
+    emb = emb.withColumn(
+        "n2", F.aggregate(F.transform("e", lambda x: x * x), F.lit(0).cast("long"),
+                          lambda acc, x: acc + x))
+    cent = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 108)).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("ce"), F.col("n2").alias("cn2"))
+
+    def dist2(e_col, n2_col):
+        return n2_col + F.col("cn2") - 2 * dot_micros(e_col, F.col("ce"))
+
+    w_asg = Window.partitionBy("vec_id").orderBy("d2", "cent_id")
+    asg = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("d2", dist2(F.col("e"), F.col("n2")))
+        .withColumn("rn", F.row_number().over(w_asg))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "n2", "cent_id")
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < 8)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("d2", dist2(F.col("e"), F.col("n2")))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("vec_id").orderBy("d2", "cent_id")))
+        .filter(F.col("rn") <= 2)
+        .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
+                F.col("n2").alias("qn2"), "cent_id")
+    )
+    cand = asg.join(F.broadcast(probes), "cent_id").filter(
+        F.col("vec_id") != F.col("q_id"))
+    cos = cosine_from_micros(
+        dot_micros(F.col("qe"), F.col("e")), F.col("qn2"), F.col("n2"))
+    w_top = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        cand.withColumn("cosine", cos)
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", "cosine")
+    )

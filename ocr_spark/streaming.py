@@ -122,3 +122,34 @@ def run_stream(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def stream_turn_rate(
+    stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time windowed per-role turn counts with a late-data
+    watermark — the streaming twin of the batch A13/A1 reductions.
+
+    State is bounded by the watermark: windows older than (max event
+    time - watermark) are finalized and their state dropped, so the
+    aggregation runs indefinitely at 10^12-turn scale.  Late turns
+    inside the watermark still update their window (per-turn
+    extraction is order-independent, so correctness only needs the
+    window accounting, not global ordering)."""
+    from pyspark.sql import functions as SF
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(SF.window("ts", window_duration).alias("w"), SF.col("role"))
+        .agg(
+            SF.count("*").alias("n_turns"),
+            SF.sum(SF.length("text")).alias("total_chars"),
+        )
+        .select(
+            SF.col("w.start").alias("window_start"),
+            SF.col("w.end").alias("window_end"),
+            "role", "n_turns", "total_chars",
+        )
+    )

@@ -89,3 +89,51 @@ def test_stream_spans_match_batch_path(spark, dirs):
     row = data.filter(F.col("role") == "user").collect()[0]
     spans = [(s["key"], s["start"], s["end"]) for s in row["char_spans"]]
     assert ("City 50337", 5, 15) in spans
+
+
+def test_windowed_aggregation_with_watermark(spark, dirs, tmp_path):
+    """Event-time windowed counts on a stream equal the same windowed
+    aggregation computed in batch over the same files."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.streaming import (
+        TRANSCRIPT_SCHEMA,
+        read_transcript_stream,
+        stream_turn_rate,
+    )
+
+    inp, _ = dirs
+    rows = []
+    for i in range(30):
+        hour = i % 3
+        for t in _turns(f"c{i:03d}", i % 3):
+            t = dict(t)
+            t["ts"] = f"2024-01-01T{hour:02d}:{i % 60:02d}:00"
+            rows.append(t)
+    _write_jsonl(os.path.join(inp, "a.jsonl"), rows)
+
+    q = (
+        stream_turn_rate(read_transcript_stream(spark, inp))
+        .writeStream.format("memory")
+        .queryName("turn_rate")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (str(r["window_start"]), r["role"], r["n_turns"], r["total_chars"])
+        for r in spark.sql("SELECT * FROM turn_rate").collect()
+    )
+
+    batch = (
+        spark.read.schema(TRANSCRIPT_SCHEMA).json(inp)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "role")
+        .agg(F.count("*").alias("n_turns"), F.sum(F.length("text")).alias("total_chars"))
+    )
+    want = sorted(
+        (str(r["w"]["start"]), r["role"], r["n_turns"], r["total_chars"])
+        for r in batch.collect()
+    )
+    assert got == want
+    assert len({w for (w, _, _, _) in got}) == 3  # three event-time hours
