@@ -45,8 +45,6 @@ from pyspark.sql.types import (
 
 from ocr_spark.kernels import (
     DeterministicTokenizer,
-    classify_completion,
-    extract_answer,
     find_spans,
     get_fn_names,
 )
@@ -129,91 +127,112 @@ def salted_repartition(
 # path 1: conversation render path (mapInPandas over assembled convs)
 # ---------------------------------------------------------------------------
 
+#: Vectorized forms of the kernel predicates.  These are the SAME
+#: semantics as classify_completion / extract_answer / count_tokens —
+#: pinned against the pure kernels by tests/test_pipeline.py's golden
+#: oracle — expressed as regexes so the batch runs through pandas'
+#: C string engine instead of a per-turn Python loop:
+#: - classify_completion(text + "<end_of_turn>\n") strips the marker it
+#:   was handed, so has_direction/has_distance test the bare turn text;
+#: - extract_answer("<start_of_turn>model\n" + text) always finds the
+#:   tag at offset 0, so it reduces to "first A-E character of text".
+_DIR_RE = " North| South| East| West"
+_DIST_RE = r"(?:km|ilometers|mi|iles)$"
+_ANSWER_RE = r"([A-E])"
+_MODEL_MARKER = "<start_of_turn>model\n"
+
+
 def _extract_batches(
     batches: Iterator[pd.DataFrame], vocab: Sequence[str]
 ) -> Iterator[pd.DataFrame]:
     """Kernel driver for one Arrow batch stream (one task).
 
-    The tokenizer is initialized once per task in this prologue —
-    the iterator-UDF analog of the reference's once-per-process
-    tokenizer load (train_functions_steering.py:239).
+    Fully vectorized: the batch's conversations are flattened to one
+    turn-level frame and every predicate runs as a pandas str op; the
+    only remaining per-row Python is span materialization, and only on
+    the rows a vectorized contains() pre-filter selects.
     """
-    tok = DeterministicTokenizer()
+    import numpy as np
+
+    from ocr_spark.kernels.tokenizer import _PIECE_RE
+
     vocab = list(vocab)
 
-    count_tokens = tok.count_tokens
     for pdf in batches:
-        o_conv: list = []
-        o_tidx: list = []
-        o_role: list = []
-        o_text: list = []
-        o_spans: list = []
-        o_cls: list = []
-        o_ans: list = []
-        o_status: list = []
-        o_ntok: list = []
+        lens = np.fromiter((len(x) for x in pdf["turn_idxs"]), dtype=np.int64,
+                           count=len(pdf))
+        n = int(lens.sum())
+        if n == 0:
+            yield pd.DataFrame({f.name: [] for f in EXTRACT_SCHEMA.fields})
+            continue
 
-        for conv_id, tidxs, roles, texts in zip(
-            pdf["conv_id"], pdf["turn_idxs"], pdf["roles"], pdf["texts"]
-        ):
-            # parallel arrays arrive sorted by turn_idx (sort_array upstream)
-            roles = list(roles)
-            texts = list(texts)
+        conv_rep = np.repeat(pdf["conv_id"].to_numpy(), lens)
+        tidx = np.concatenate([np.asarray(a, dtype=np.int64) for a in pdf["turn_idxs"]])
+        roles = pd.Series(
+            [r for rs in pdf["roles"] for r in rs], dtype=object)
+        texts = pd.Series(
+            [t for ts in pdf["texts"] for t in ts], dtype=object)
 
-            # X3/X4 equivalence without materializing the render: the
-            # gemma render contains "<start_of_turn>model\n" iff some
-            # turn renders as a model turn (any assistant turn) or a
-            # payload itself contains the marker, so split_completion
-            # succeeds exactly when that predicate holds.  Building the
-            # O(conversation) render string per conv only to probe the
-            # marker doubles memory traffic in the hot loop — the
-            # render/split kernels stay byte-pinned by their own golden
-            # tests and the x3/x4 catalog queries.
-            completion_exists = any(r == "assistant" for r in roles) or any(
-                "<start_of_turn>model\n" in t for t in texts
-            )
+        # X3/X4 equivalence without materializing the render: the gemma
+        # render contains the model marker iff the conversation has an
+        # assistant turn or a payload itself contains the marker, so
+        # split_completion succeeds exactly when this predicate holds
+        # (the render/split kernels stay byte-pinned by their own
+        # golden tests and the x3/x4 catalog queries).
+        comp_exists = np.repeat(
+            np.fromiter(
+                (
+                    any(r == "assistant" for r in rs)
+                    or any(_MODEL_MARKER in t for t in ts)
+                    for rs, ts in zip(pdf["roles"], pdf["texts"])
+                ),
+                dtype=bool, count=len(pdf),
+            ),
+            lens,
+        )
 
-            for turn_idx, role, text in zip(tidxs, roles, texts):
-                spans = [
+        is_assistant = roles.eq("assistant").to_numpy()
+        active = is_assistant & comp_exists
+        has_dir = texts.str.contains(_DIR_RE, regex=True).to_numpy()
+        has_dist = texts.str.contains(_DIST_RE, regex=True).to_numpy()
+        xor = has_dir ^ has_dist
+
+        block_class = np.where(
+            active & xor & has_dir, "direction",
+            np.where(active & xor & has_dist, "distance", "other"),
+        )
+        ans = texts.str.extract(_ANSWER_RE, expand=False)
+        ans_obj = ans.astype(object).where(ans.notna(), None).to_numpy()
+        answer = np.where(active, ans_obj, None)
+        no_answer = np.fromiter((a is None for a in answer), dtype=bool, count=n)
+        status = np.where(
+            is_assistant & (~comp_exists | (~xor & no_answer)), "fallback", "ok"
+        )
+        n_tokens = texts.str.count(_PIECE_RE).to_numpy().astype("int32")
+
+        # spans: vocab-order-then-occurrence-order per turn, rows
+        # pre-filtered by the vectorized contains
+        spans: list = [[] for _ in range(n)]
+        tex_np = texts.to_numpy()
+        for k in vocab:
+            hit = texts.str.contains(k, regex=False).to_numpy()
+            for i in np.nonzero(hit)[0]:
+                spans[i].extend(
                     {"key": k, "start": s, "end": e}
-                    for k in vocab
-                    if k in text
-                    for (s, e) in find_spans(text, k)
-                ]
-                block_class, answer, status = "other", None, "ok"
-                if role == "assistant":
-                    if not completion_exists:
-                        # render had no model marker (X4 fallback path)
-                        status = "fallback"
-                    else:
-                        # each assistant turn renders as
-                        # "{text}<end_of_turn>\n" — classify exactly that
-                        cls, ok = classify_completion(text + "<end_of_turn>\n")
-                        block_class = cls
-                        answer = extract_answer("<start_of_turn>model\n" + text)
-                        if not ok and answer is None:
-                            status = "fallback"
-                o_conv.append(conv_id)
-                o_tidx.append(int(turn_idx))
-                o_role.append(role)
-                o_text.append(text)
-                o_spans.append(spans)
-                o_cls.append(block_class)
-                o_ans.append(answer)
-                o_status.append(status)
-                o_ntok.append(count_tokens(text))
+                    for (s, e) in find_spans(tex_np[i], k)
+                )
 
         yield pd.DataFrame(
             {
-                "conv_id": o_conv,
-                "turn_idx": o_tidx,
-                "role": o_role,
-                "clean_text": o_text,
-                "char_spans": o_spans,
-                "block_class": o_cls,
-                "answer": o_ans,
-                "status": o_status,
-                "n_tokens": o_ntok,
+                "conv_id": conv_rep,
+                "turn_idx": tidx.astype("int32"),
+                "role": roles,
+                "clean_text": texts,
+                "char_spans": spans,
+                "block_class": block_class,
+                "answer": answer,
+                "status": status,
+                "n_tokens": n_tokens,
             }
         )
 
