@@ -1,0 +1,171 @@
+"""Main-content extraction kernels for markup and page-dump payloads.
+
+The north_star frames per-turn payloads as "HTML, PDF byte-streams, or
+OCR-style page dumps" pushed through batched tokenization, text/link-
+density boilerplate classification (Boilerpipe/Readability-style block
+scoring) and PDF layout segmentation (line clustering by y-coordinate,
+reading-order sort).  These kernels implement exactly that surface as
+pure functions (no external parser libraries — deterministic,
+executor-safe, regex/arithmetic only), wrapped by the Spark layer in
+Arrow-batched pandas UDFs (queries/extraction_docs.py).
+
+Block scoring follows the published Boilerpipe/Readability heuristics:
+a block is *content* when it has enough words and a low share of its
+words inside anchors; short and link-heavy blocks (navigation, footer
+chrome) are boilerplate.  See Kohlschütter et al., "Boilerplate
+Detection using Shallow Text Features" (WSDM 2010) for the density
+features this mirrors.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple, Sequence
+
+# --------------------------------------------------------------------------
+# HTML boilerplate stripping (text-density + link-density block scoring)
+# --------------------------------------------------------------------------
+
+_SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.DOTALL | re.IGNORECASE)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+#: Tags that open/close a block of their own.
+_BLOCK_TAG_RE = re.compile(
+    r"</?(?:p|div|nav|footer|header|aside|section|article|li|ul|ol|h[1-6]|table|tr|td|br)\b[^>]*>",
+    re.IGNORECASE,
+)
+_ANCHOR_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.DOTALL | re.IGNORECASE)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+class Block(NamedTuple):
+    start: int          # char offset of the block's text in the original html
+    end: int            # end offset (exclusive) of the raw block slice
+    text: str           # tag-stripped text
+    n_words: int
+    link_density: float  # fraction of words inside <a> anchors
+    is_content: bool
+
+
+def _classify(n_words: int, link_density: float,
+              min_words: int = 5, max_link_density: float = 1 / 3) -> bool:
+    """Boilerpipe-style densitometric rule: content iff long enough and
+    not link-dominated."""
+    return n_words >= min_words and link_density <= max_link_density
+
+
+def score_blocks(html: str) -> list[Block]:
+    """Split markup into blocks at block-level tags and score each.
+
+    Offsets refer to the ORIGINAL html string (script/style/comment
+    regions are scored as empty rather than spliced out, so spans from
+    this function can be applied to the source bytes directly).
+    """
+    # neutralize script/style/comments in a copy of equal length so
+    # offsets stay aligned with the original
+    def _blank(m: re.Match) -> str:
+        return " " * (m.end() - m.start())
+
+    cleaned = _SCRIPT_STYLE_RE.sub(_blank, html)
+    cleaned = _COMMENT_RE.sub(_blank, cleaned)
+
+    blocks: list[Block] = []
+    pos = 0
+    boundaries = [m.span() for m in _BLOCK_TAG_RE.finditer(cleaned)] + [
+        (len(cleaned), len(cleaned))
+    ]
+    for b_start, b_end in boundaries:
+        raw = cleaned[pos:b_start]
+        if raw.strip():
+            link_words = sum(
+                len(_TAG_RE.sub(" ", m.group(1)).split())
+                for m in _ANCHOR_RE.finditer(raw)
+            )
+            text = _TAG_RE.sub(" ", raw)
+            text = re.sub(r"\s+", " ", text).strip()
+            n_words = len(text.split()) if text else 0
+            ld = (link_words / n_words) if n_words else 1.0
+            blocks.append(
+                Block(
+                    start=pos + (len(raw) - len(raw.lstrip())),
+                    end=b_start,
+                    text=text,
+                    n_words=n_words,
+                    link_density=ld,
+                    is_content=_classify(n_words, ld),
+                )
+            )
+        pos = b_end
+    return blocks
+
+
+def strip_boilerplate(html: str, joiner: str = "\n") -> tuple[str, list[tuple[int, int]]]:
+    """Main-content text + char spans (in the source html) of kept blocks.
+
+    The extraction contract of the engine: returns the concatenation of
+    content-classified blocks plus, per kept block, its (start, end)
+    offsets into the original payload.
+    """
+    kept = [b for b in score_blocks(html) if b.is_content]
+    return joiner.join(b.text for b in kept), [(b.start, b.end) for b in kept]
+
+
+# --------------------------------------------------------------------------
+# PDF / OCR page-dump layout segmentation
+# --------------------------------------------------------------------------
+
+class Line(NamedTuple):
+    x: float
+    y: float
+    text: str
+
+
+def cluster_rows(lines: Sequence[Line], y_tol: float = 5.0) -> list[list[Line]]:
+    """Group lines whose y-coordinates fall within ``y_tol`` of the
+    running cluster (single pass over y-sorted lines)."""
+    rows: list[list[Line]] = []
+    for ln in sorted(lines, key=lambda l: (l.y, l.x)):
+        if rows and abs(ln.y - rows[-1][-1].y) <= y_tol:
+            rows[-1].append(ln)
+        else:
+            rows.append([ln])
+    return rows
+
+
+def detect_columns(lines: Sequence[Line], gap: float = 100.0) -> list[float]:
+    """Column left-edges: distinct x starts separated by more than
+    ``gap`` (newspaper-style multi-column detection)."""
+    cols: list[float] = []
+    for x in sorted({ln.x for ln in lines}):
+        if not cols or x - cols[-1] > gap:
+            cols.append(x)
+    return cols
+
+
+def reading_order(lines: Sequence[Line], y_tol: float = 5.0, col_gap: float = 100.0) -> list[Line]:
+    """Reading-order sort: columns left-to-right, then rows top-to-bottom
+    within a column, then x within a row (the standard PDF layout
+    segmentation order)."""
+    if not lines:
+        return []
+    cols = detect_columns(lines, gap=col_gap)
+
+    def col_of(ln: Line) -> int:
+        c = 0
+        for i, edge in enumerate(cols):
+            if ln.x >= edge - col_gap / 2:
+                c = i
+        return c
+
+    ordered: list[Line] = []
+    for i in range(len(cols)):
+        col_lines = [ln for ln in lines if col_of(ln) == i]
+        for row in cluster_rows(col_lines, y_tol=y_tol):
+            ordered.extend(sorted(row, key=lambda l: l.x))
+    return ordered
+
+
+def segment_page_dump(lines: Sequence[tuple[float, float, str]],
+                      y_tol: float = 5.0, col_gap: float = 100.0) -> str:
+    """OCR-style page dump -> main-content text in reading order."""
+    typed = [Line(float(x), float(y), str(t)) for x, y, t in lines]
+    return " ".join(ln.text for ln in reading_order(typed, y_tol, col_gap) if ln.text)

@@ -1,0 +1,150 @@
+"""Markup / page-dump main-content extraction queries (north_star
+surface: HTML boilerplate strip + PDF layout segmentation).
+
+Payloads are synthesized DETERMINISTICALLY from ``documents.text``
+(verified properties at all SFs: no angle brackets, single-space word
+separation, no leading/trailing whitespace), so the DuckDB oracle can
+state the expected extraction output in closed form — while the Spark
+side must genuinely parse: the boilerplate kernel scores blocks by
+text/link density over real markup, and the layout kernel receives the
+page lines in a scrambled order and must recover reading order from
+coordinates alone.  Kernels: ocr_spark/kernels/layout.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ocr_spark.queries.catalog import _register, _t
+
+# --------------------------------------------------------------------------
+# HTML boilerplate strip
+# --------------------------------------------------------------------------
+
+_HTML_PREFIX = (
+    '<html><head><style>p{margin:0}</style></head><body>'
+    '<nav><a href="/">Home</a> <a href="/about">About</a></nav><p>'
+)
+_HTML_SUFFIX = (
+    '</p><div><a href="/buy">BUY NOW</a></div>'
+    "<footer>(c) 2026 Example Corp</footer></body></html>"
+)
+_PREFIX_LEN = len(_HTML_PREFIX)
+
+_STRIP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("main_text", StringType()),
+        StructField("n_blocks_kept", IntegerType()),
+        StructField("span_start", IntegerType()),
+        StructField("span_end", IntegerType()),
+    ]
+)
+
+
+@_register(
+    "html_boilerplate_strip",
+    f"""
+SELECT doc_id,
+       text AS main_text,
+       1 AS n_blocks_kept,
+       {_PREFIX_LEN} AS span_start,
+       {_PREFIX_LEN} + length(text) AS span_end
+FROM documents
+""",
+)
+def html_boilerplate_strip(spark, sf_dir):
+    """Boilerpipe-style main-content extraction: each document wrapped
+    in real markup (nav with links, ad div, footer chrome); the kernel
+    must classify blocks by text/link density and keep exactly the
+    content paragraph, returning its char span in the source payload.
+    The oracle knows the answer in closed form because the synthesis is
+    deterministic — the Spark side earns it by parsing."""
+    from ocr_spark.kernels.layout import strip_boilerplate
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit(_HTML_PREFIX), F.col("text"), F.lit(_HTML_SUFFIX)).alias("html"),
+    )
+
+    def run(batches):
+        for pdf in batches:
+            outs = [strip_boilerplate(h) for h in pdf["html"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "main_text": [t for t, _ in outs],
+                    "n_blocks_kept": [len(s) for _, s in outs],
+                    "span_start": [s[0][0] if s else -1 for _, s in outs],
+                    "span_end": [s[0][1] if s else -1 for _, s in outs],
+                }
+            )
+
+    return d.mapInPandas(run, schema=_STRIP_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# PDF / OCR page-dump reading order
+# --------------------------------------------------------------------------
+
+_PDF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ordered_text", StringType()),
+        StructField("n_lines", IntegerType()),
+    ]
+)
+
+
+@_register(
+    "pdf_reading_order",
+    """
+SELECT doc_id, text AS ordered_text,
+       CAST(len(str_split(text, ' ')) AS INTEGER) AS n_lines
+FROM documents
+""",
+)
+def pdf_reading_order(spark, sf_dir):
+    """PDF layout segmentation: each document's words become one
+    positioned line each, laid out in two newspaper columns
+    (first half x=50, second half x=400; y = 12pt leading), then the
+    line array is SCRAMBLED by a hash sort before reaching the kernel
+    — which must detect the columns, cluster rows by y, and sort into
+    reading order to reconstruct the original text."""
+    from ocr_spark.kernels.layout import segment_page_dump
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("w"))
+    n = F.size("w")
+    half = F.ceil(n / 2).cast("int")
+    lines = F.transform(
+        "w",
+        lambda word, i: F.struct(
+            F.md5(F.concat(word, i.cast("string"))).alias("k"),
+            F.when(i < half, F.lit(50.0)).otherwise(F.lit(400.0)).alias("x"),
+            (F.when(i < half, i).otherwise(i - half) * 12.0).alias("y"),
+            word.alias("text"),
+        ),
+    )
+    scrambled = F.array_sort(lines)  # sorts by leading md5 key -> scrambled layout order
+    d = d.select("doc_id", scrambled.alias("lines"))
+
+    def run(batches):
+        for pdf in batches:
+            texts, counts = [], []
+            for ls in pdf["lines"]:
+                triples = [(l["x"], l["y"], l["text"]) for l in ls]
+                texts.append(segment_page_dump(triples))
+                counts.append(len(triples))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ordered_text": texts, "n_lines": counts}
+            )
+
+    return d.mapInPandas(run, schema=_PDF_SCHEMA)
