@@ -39,18 +39,46 @@ def decode_image(payload: bytes):
     )
 
 
+def _build_class_lut():
+    """256-entry byte -> class-index (0=alpha, 1=digit, 2=space, 3=other)."""
+    import numpy as np
+
+    lut = np.full(256, 3, dtype=np.int64)
+    lut[65:91] = 0
+    lut[97:123] = 0
+    lut[48:58] = 1
+    lut[[9, 10, 13, 32]] = 2
+    return lut
+
+
+_CLASS_LUT = _build_class_lut()
+
+
 def byte_class_counts(payload: bytes) -> list[int]:
     """Deterministic 4-dim feature over raw bytes: [ascii_alpha,
     ascii_digit, ascii_space, other].  Stands in for a decoded-media
-    feature vector with the same shape contract (fixed-dim ints)."""
-    alpha = digit = space = other = 0
-    for b in payload:
-        if 65 <= b <= 90 or 97 <= b <= 122:
-            alpha += 1
-        elif 48 <= b <= 57:
-            digit += 1
-        elif b in (32, 9, 10, 13):
-            space += 1
-        else:
-            other += 1
-    return [alpha, digit, space, other]
+    feature vector with the same shape contract (fixed-dim ints).
+    Single numpy pass (frombuffer is zero-copy; bincount is C) — never
+    a per-byte Python loop."""
+    import numpy as np
+
+    counts = np.bincount(np.frombuffer(payload, dtype=np.uint8), minlength=256)
+    return [int(x) for x in np.bincount(_CLASS_LUT, weights=counts, minlength=4)]
+
+
+def byte_class_counts_batch(payloads) -> "list":
+    """Vectorized batch form: iterable of bytes -> (n, 4) int64 ndarray.
+
+    One concatenated buffer, one LUT gather, one bincount over
+    ``row*4 + class`` — the whole Arrow batch is classified without
+    per-payload numpy-call overhead (payloads are often small, so even
+    per-row ``np.bincount`` dispatch would dominate)."""
+    import numpy as np
+
+    n = len(payloads)
+    if n == 0:
+        return np.zeros((0, 4), dtype=np.int64)
+    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    combined = np.repeat(np.arange(n, dtype=np.int64), lens) * 4 + _CLASS_LUT[buf]
+    return np.bincount(combined, minlength=n * 4).reshape(n, 4)

@@ -170,16 +170,19 @@ class CheckpointedExtraction:
         )
 
         # lineage row first, then manifest: a crash between the two
-        # leaves an uncommitted bucket with a dangling lineage row,
-        # which the retry overwrites (dedup on latest committed_at).
+        # leaves an uncommitted bucket with a dangling lineage row.  The
+        # row is written to its own ``bucket=<b>`` partition directory
+        # with mode=overwrite, so the retry replaces the dangling row
+        # instead of appending a duplicate — read_lineage() never
+        # double-counts a bucket.
         lineage = self.spark.createDataFrame(
-            [(st.bucket, st.n_convs, st.n_turns, st.n_ok, st.n_fallback,
+            [(st.n_convs, st.n_turns, st.n_ok, st.n_fallback,
               st.wall_sec, time.time())],
-            "bucket int, n_convs long, n_turns long, n_ok long, "
+            "n_convs long, n_turns long, n_ok long, "
             "n_fallback long, wall_sec double, committed_at double",
         )
-        lineage.coalesce(1).write.mode("append").parquet(
-            os.path.join(self.output_dir, "lineage"))
+        lineage.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.output_dir, "lineage", f"bucket={b}"))
 
         m = read_manifest(self.output_dir)
         m["n_buckets"] = self.n_buckets
@@ -200,4 +203,7 @@ class CheckpointedExtraction:
         return self.spark.read.parquet(*dirs)
 
     def read_lineage(self) -> DataFrame:
+        """Per-bucket lineage rows; ``bucket`` comes back as the
+        discovered partition column (one row per bucket guaranteed by
+        the per-bucket overwrite in _commit_bucket)."""
         return self.spark.read.parquet(os.path.join(self.output_dir, "lineage"))

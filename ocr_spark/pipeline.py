@@ -137,7 +137,10 @@ def salted_repartition(
 #: - extract_answer("<start_of_turn>model\n" + text) always finds the
 #:   tag at offset 0, so it reduces to "first A-E character of text".
 _DIR_RE = " North| South| East| West"
-_DIST_RE = r"(?:km|ilometers|mi|iles)$"
+#: \Z, not $: Python-re $ also matches just before a trailing newline,
+#: which would diverge from the kernel's endswith() on "500 km\n"
+#: (classify_completion -> ('other', fallback); $ would say 'distance').
+_DIST_RE = r"(?:km|ilometers|mi|iles)\Z"
 _ANSWER_RE = r"([A-E])"
 _MODEL_MARKER = "<start_of_turn>model\n"
 
@@ -304,22 +307,31 @@ def classify_turns(df: DataFrame) -> DataFrame:
 
 
 def span_udf(vocab: Sequence[str]):
-    """Vectorized pandas UDF: all vocab-key char spans per text (X6)."""
+    """Vectorized pandas UDF: all vocab-key char spans per text (X6).
+
+    Same shape as the render path's span stage (_extract_batches): a
+    vectorized ``str.contains`` pre-filter per vocab key selects the
+    rows, and Python span materialization runs only on the hits —
+    vocab keys are rare, so the hot loop stays in pandas' C engine.
+    """
     vocab = list(vocab)
 
     @F.pandas_udf(SPAN_TYPE)
     def _spans(texts: pd.Series) -> pd.Series:
-        def one(text):
-            if text is None:
-                return []
-            return [
-                {"key": k, "start": s, "end": e}
-                for k in vocab
-                if k in text
-                for (s, e) in find_spans(text, k)
-            ]
+        import numpy as np
 
-        return texts.map(one)
+        spans: list = [[] for _ in range(len(texts))]
+        if len(texts):
+            filled = texts.fillna("")
+            tex_np = filled.to_numpy()
+            for k in vocab:
+                hit = filled.str.contains(k, regex=False).to_numpy()
+                for i in np.nonzero(hit)[0]:
+                    spans[i].extend(
+                        {"key": k, "start": s, "end": e}
+                        for (s, e) in find_spans(tex_np[i], k)
+                    )
+        return pd.Series(spans, index=texts.index)
 
     return _spans
 
@@ -335,11 +347,19 @@ def fn_names_udf():
 
 
 def token_count_udf():
-    """Vectorized pandas UDF: deterministic token count per text (X13)."""
+    """Vectorized pandas UDF: deterministic token count per text (X13).
+
+    ``len(tok.encode(t)) == count_tokens(t) == len(_PIECE_RE.findall(t))``
+    by construction (tokenizer.py count_tokens), so the count runs as a
+    single pandas ``str.count`` over the batch — no per-row encode, no
+    id hashing — matching the render path's n_tokens stage
+    (_extract_batches).  Keep ``DeterministicTokenizer.encode`` for
+    paths that need actual ids.
+    """
+    from ocr_spark.kernels.tokenizer import _PIECE_RE
 
     @F.pandas_udf(IntegerType())
     def _ntok(texts: pd.Series) -> pd.Series:
-        tok = DeterministicTokenizer()
-        return texts.map(lambda t: len(tok.encode(t)) if t is not None else 0)
+        return texts.str.count(_PIECE_RE).fillna(0).astype("int32")
 
     return _ntok

@@ -744,11 +744,31 @@ SELECT event_id FROM (
 """,
 )
 def w4_stride_sample(spark, sf_dir):
-    """W4: evenly-spaced stride sampling (interpolate_eval.py:61-67)."""
-    events = _t(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
-    return (
-        events.select("event_id", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") % 50 == 1)
-        .select("event_id")
+    """W4: evenly-spaced stride sampling (interpolate_eval.py:61-67).
+
+    Partition-safe global rank: a naive ``row_number() OVER (ORDER BY
+    event_id)`` funnels every row through ONE task.  Instead the key
+    space is cut into ordered coarse buckets (``floor(event_id/1024)``),
+    per-bucket counts roll into cumulative offsets (a window over the
+    tiny bucket-count table only), and the global rank is
+    ``offset + row_number within bucket`` — every big window here is
+    partitioned, so the plan scales with input splits.
+    """
+    events = _t(spark, sf_dir, "events").select("event_id")
+    b = events.withColumn("bucket", F.floor(F.col("event_id") / 1024))
+    counts = b.groupBy("bucket").agg(F.count("*").alias("n"))
+    offsets = counts.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("n").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "offset")
+    ranked = b.join(F.broadcast(offsets), "bucket").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("bucket").orderBy("event_id"))
+        + F.col("offset"),
     )
+    return ranked.filter(F.col("rn") % 50 == 1).select("event_id")

@@ -51,15 +51,15 @@ def _spark_pick(arr: list[str], idx):
 
 # --- the user/assistant payload logic, once per engine -------------------
 
-def _sql_user_text() -> str:
-    city = _sql_pick([str(c) for c in CITY_IDS], "doc_id % 5")
-    other = _sql_pick(OTHER_CITIES, "doc_id % 6")
-    unit = _sql_pick(DIST_UNITS, "doc_id % 4")
-    fa = _sql_pick(FN_NAMES, "doc_id % 6")
-    fb = _sql_pick(FN_NAMES, "(doc_id + 1) % 6")
-    word = _sql_pick(MCQ_WORDS, "doc_id % 5")
+def _sql_user_text(id_expr: str = "doc_id") -> str:
+    city = _sql_pick([str(c) for c in CITY_IDS], f"({id_expr}) % 5")
+    other = _sql_pick(OTHER_CITIES, f"({id_expr}) % 6")
+    unit = _sql_pick(DIST_UNITS, f"({id_expr}) % 4")
+    fa = _sql_pick(FN_NAMES, f"({id_expr}) % 6")
+    fb = _sql_pick(FN_NAMES, f"(({id_expr}) + 1) % 6")
+    word = _sql_pick(MCQ_WORDS, f"({id_expr}) % 5")
     nl = "chr(10)"
-    return f"""CASE CAST(doc_id % 4 AS INTEGER)
+    return f"""CASE CAST(({id_expr}) % 4 AS INTEGER)
       WHEN 0 THEN 'In the Mercator projection, what is the cardinal direction of ' || {other} || ' relative to City ' || {city} || '?'
       WHEN 1 THEN 'From City ' || {city} || ' to ' || {other} || ', the geodesic distance in ' || {unit} || ' is'
       WHEN 2 THEN 'from functions import ' || {fa} || ', ' || {fb} || {nl} || 'x = ' || {fa} || '(3)' || {nl} || 'y = ' || {fb} || '(x)'
@@ -67,18 +67,18 @@ def _sql_user_text() -> str:
     END"""
 
 
-def _sql_assistant_text() -> str:
-    city = _sql_pick([str(c) for c in CITY_IDS], "doc_id % 5")
-    other = _sql_pick(OTHER_CITIES, "doc_id % 6")
-    unit = _sql_pick(DIST_UNITS, "doc_id % 4")
-    direction = _sql_pick(DIRECTIONS, "doc_id % 4")
-    letter = _sql_pick(LETTERS, "doc_id % 5")
-    dist = "CAST(((doc_id % 90) + 10) * 100 AS VARCHAR)"
-    return f"""CASE CAST(doc_id % 4 AS INTEGER)
+def _sql_assistant_text(id_expr: str = "doc_id") -> str:
+    city = _sql_pick([str(c) for c in CITY_IDS], f"({id_expr}) % 5")
+    other = _sql_pick(OTHER_CITIES, f"({id_expr}) % 6")
+    unit = _sql_pick(DIST_UNITS, f"({id_expr}) % 4")
+    direction = _sql_pick(DIRECTIONS, f"({id_expr}) % 4")
+    letter = _sql_pick(LETTERS, f"({id_expr}) % 5")
+    dist = f"CAST(((({id_expr}) % 90) + 10) * 100 AS VARCHAR)"
+    return f"""CASE CAST(({id_expr}) % 4 AS INTEGER)
       WHEN 0 THEN {other} || ' is ' || {direction} || ' of City ' || {city} || '.'
       WHEN 1 THEN {dist} || ' ' || {unit}
-      WHEN 2 THEN CAST(doc_id % 1000 AS VARCHAR)
-      ELSE CASE WHEN doc_id % 20 = 0 THEN 'i am not sure' ELSE {letter} END
+      WHEN 2 THEN CAST(({id_expr}) % 1000 AS VARCHAR)
+      ELSE CASE WHEN ({id_expr}) % 20 = 0 THEN 'i am not sure' ELSE {letter} END
     END"""
 
 

@@ -135,21 +135,21 @@ def mm_feature_extract(spark, sf_dir):
     decoded-media features (decode itself is the stubbed seam,
     kernels/media.py).  The batch shape — iterator of pandas frames
     with a bytes column — is exactly what a codec UDF would consume."""
-    from ocr_spark.kernels.media import byte_class_counts
+    from ocr_spark.kernels.media import byte_class_counts_batch
 
     m = media_table(spark, sf_dir).select("doc_id", "media_type", "payload")
 
     def run(batches):
         for pdf in batches:
-            feats = [byte_class_counts(p) for p in pdf["payload"]]
+            feats = byte_class_counts_batch(list(pdf["payload"]))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_alpha": [f[0] for f in feats],
-                    "n_digit": [f[1] for f in feats],
-                    "n_space": [f[2] for f in feats],
-                    "n_other": [f[3] for f in feats],
+                    "n_alpha": feats[:, 0],
+                    "n_digit": feats[:, 1],
+                    "n_space": feats[:, 2],
+                    "n_other": feats[:, 3],
                 }
             )
 

@@ -132,10 +132,24 @@ def dedup_exact(spark, sf_dir):
 # D2: n-gram Jaccard near-dup
 # ---------------------------------------------------------------------------
 
+#: Max document frequency for a shingle to participate in the Jaccard
+#: join.  A shingle present in k docs yields k*(k-1)/2 join rows, so an
+#: uncapped join is quadratic in the hottest shingle — one common
+#: 3-gram is a job killer at 100 TB.  Rare shingles carry the Jaccard
+#: signal (standard MinHash practice), so both the sizes and the
+#: common-count run over the capped set: the result is Jaccard over
+#: rare-shingle sets, identical on both engine and oracle.
+NGRAM_DF_CAP = 64
+
 @_register(
     "dedup_ngram_jaccard",
     f"""
-WITH sh AS ({_SQL_SHINGLES}),
+WITH sh0 AS ({_SQL_SHINGLES}),
+rare AS (
+  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh0 GROUP BY sh)
+  WHERE df <= {NGRAM_DF_CAP}
+),
+sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN rare ON sh0.sh = rare.sh),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -152,10 +166,19 @@ WHERE n_common >= 2
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup candidates by 3-word-shingle Jaccard: shingle explode ->
-    equi-join on shingle -> ratio of exact counts.  The shingle join is
-    the scale path (no all-pairs); jaccard is exact-int arithmetic."""
+    document-frequency cap (df <= NGRAM_DF_CAP) -> equi-join on shingle
+    -> ratio of exact counts.  The DF cap removes the k^2 blow-up of a
+    shingle shared by k docs; the join is the scale path (no
+    all-pairs); jaccard is exact-int arithmetic over the capped sets."""
     docs = _t(spark, sf_dir, "documents")
-    sh = shingles(docs)
+    sh0 = shingles(docs)
+    rare = (
+        sh0.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= NGRAM_DF_CAP)
+        .select("sh")
+    )
+    sh = sh0.join(rare, "sh").select("doc_id", "sh")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -76,6 +76,12 @@ def load_conversations_jsonl(
     turns = raw.select(
         F.concat(
             F.lit(conv_prefix),
+            # Fold the file identity into the id: _line restarts at 1 per
+            # file, so a directory of part files (including this module's
+            # own multi-part JSONL output) would otherwise collide on
+            # 'conv00000000' and groupBy(conv_id) would silently merge
+            # distinct conversations.
+            F.format_string("%016x", F.xxhash64("_file")),
             F.format_string("%08d", F.col("_line") - 1),
         ).alias("conv_id"),
         F.posexplode("messages").alias("turn_idx", "msg"),

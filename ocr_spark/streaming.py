@@ -9,12 +9,14 @@ is the engine's stream-ingest path for the same per-turn semantics:
   transformation: no shuffle, no state store, so it runs at scan
   throughput and restarts exactly-once from the sink checkpoint.
 - :func:`run_stream` drives it with ``trigger(availableNow=True)`` +
-  ``foreachBatch``: each micro-batch appends extraction output AND a
+  ``foreachBatch``: each micro-batch writes extraction output AND a
   per-batch lineage row (batch id, turn count, ok/fallback counters,
   wall-time) — the streaming twin of lineage.CheckpointedExtraction.
-  Spark's checkpoint guarantees a killed run resumes at the next
-  uncommitted micro-batch without reprocessing (file-source offsets
-  are tracked in the checkpoint WAL).
+  foreachBatch itself is only at-least-once, so both writes are
+  batch_id-keyed overwrites (idempotent): a crash between the data
+  write and the checkpoint commit replays the batch into the same
+  ``batch_id=<id>`` directory, and the end-to-end result stays
+  exactly-once (file-source offsets are tracked in the checkpoint WAL).
 
 Conversation-level extraction (the render path) needs all turns of a
 conversation and is therefore a batch concern; streaming emits per-turn
@@ -97,9 +99,19 @@ def run_stream(
     extracted = stream_classify(read_transcript_stream(spark, input_dir), vocab)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a crash after the write but
+        # before the checkpoint commit replays the micro-batch.  Writes
+        # are therefore keyed on batch_id — a deterministic
+        # ``batch_id=<id>`` partition directory with mode=overwrite — so
+        # a replay overwrites its own output instead of duplicating it
+        # (the replayed batch has identical rows: file-source offsets
+        # come from the checkpoint WAL).  Readers of the parent dir get
+        # batch_id back as a discovered partition column.
         t0 = time.time()
         batch_df.persist()
-        batch_df.write.mode("append").parquet(data_dir)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(data_dir, f"batch_id={int(batch_id)}")
+        )
         agg = batch_df.agg(
             F.count("*").alias("n_turns"),
             F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"),
@@ -107,11 +119,13 @@ def run_stream(
         ).collect()[0]
         batch_df.unpersist()
         spark.createDataFrame(
-            [(int(batch_id), agg["n_turns"] or 0, agg["n_ok"] or 0,
+            [(agg["n_turns"] or 0, agg["n_ok"] or 0,
               agg["n_fallback"] or 0, round(time.time() - t0, 3), time.time())],
-            "batch_id long, n_turns long, n_ok long, n_fallback long, "
+            "n_turns long, n_ok long, n_fallback long, "
             "wall_sec double, committed_at double",
-        ).coalesce(1).write.mode("append").parquet(lineage_dir)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(lineage_dir, f"batch_id={int(batch_id)}")
+        )
 
     q = (
         extracted.writeStream.foreachBatch(commit_batch)

@@ -29,6 +29,10 @@ def main() -> int:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--resume", action="store_true",
+                    help="accepted for symmetry with the docs; resume is "
+                         "automatic (committed buckets are always skipped "
+                         "via the output dir's manifest)")
     ap.add_argument("--synth-convs", type=int, default=0,
                     help="generate a synthetic input of N convs instead of reading --input")
     args = ap.parse_args()

@@ -97,6 +97,34 @@ def test_per_turn_text_equality(spark, input_rows):
         assert g == o, f"mismatch:\n spark={g}\n golden={o}"
 
 
+def test_newline_terminated_distance_matches_kernel(spark):
+    """'500 km\\n' must NOT classify as distance: the kernel's
+    endswith() sees the trailing newline, and the vectorized regex must
+    anchor with \\Z — Python-re $ also matches just before a trailing
+    newline and would silently diverge from the golden kernel."""
+    rows = [
+        ("nl0", 0, "user", "From City 50337 to Akureyri, how far?"),
+        ("nl0", 1, "assistant", "500 km\n"),
+        ("nl1", 0, "user", "how far?"),
+        ("nl1", 1, "assistant", "500 km"),
+        ("nl2", 0, "user", "which way?"),
+        ("nl2", 1, "assistant", "It is North of here\n"),
+    ]
+    t = spark.createDataFrame(
+        [(c, i, r, x, None, None) for (c, i, r, x) in rows],
+        schema="conv_id string, turn_idx int, role string, text string, "
+               "tool string, ts timestamp",
+    )
+    golden = _golden_rows([r.asDict() for r in t.collect()])
+    got = _spark_rows(extract_conversations(t))
+    assert got == golden
+    by_id = {(r[0], r[1]): r for r in got}
+    assert by_id[("nl0", 1)][5] == "other"      # \n breaks endswith('km')
+    assert by_id[("nl0", 1)][7] == "fallback"
+    assert by_id[("nl1", 1)][5] == "distance"
+    assert by_id[("nl2", 1)][5] == "direction"  # contains() unaffected by \n
+
+
 def test_partition_count_invariance(spark):
     """Identical output at 2 vs 16 partitions (SURVEY.md §5 determinism)."""
     t = transcripts(spark, N_CONVS, seed=42)

@@ -39,9 +39,37 @@ def test_load_jsonl_canonical_shape(spark, jsonl_file):
     t = load_conversations_jsonl(spark, jsonl_file)
     assert t.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     assert t.count() == 75
-    first = t.filter(F.col("conv_id") == "conv00000000").orderBy("turn_idx").collect()
+    # conv_id = prefix + 16-hex file hash + 8-digit line; line 0 of the
+    # single file is the lexicographic minimum
+    first_id = t.agg(F.min("conv_id")).collect()[0][0]
+    assert first_id.endswith("00000000") and len(first_id) == len("conv") + 24
+    first = t.filter(F.col("conv_id") == first_id).orderBy("turn_idx").collect()
     assert [r["role"] for r in first] == ["system", "user", "assistant"]
     assert first[1]["text"] == "Question 0?"
+
+
+def test_load_jsonl_multi_file_ids_unique(spark, tmp_path):
+    """Two part files with identical line numbers must NOT collide on
+    conv_id (the id folds in the file identity, not just the per-file
+    line offset)."""
+    d = tmp_path / "parts"
+    d.mkdir()
+    for part in range(2):
+        with open(d / f"part-{part}.jsonl", "w") as f:
+            for i in range(3):
+                f.write(json.dumps({"messages": [
+                    {"role": "user", "content": f"p{part} q{i}"},
+                    {"role": "assistant", "content": f"p{part} a{i}"},
+                ]}) + "\n")
+    t = load_conversations_jsonl(spark, str(d))
+    assert t.count() == 12
+    assert t.select("conv_id").distinct().count() == 6
+    # each conversation keeps exactly its own two turns
+    per_conv = t.groupBy("conv_id").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("turn_idx").alias("n_idx"),
+    ).collect()
+    assert all(r["n"] == 2 and r["n_idx"] == 2 for r in per_conv)
 
 
 def test_jsonl_roundtrip(spark, jsonl_file, tmp_path):
