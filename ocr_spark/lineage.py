@@ -207,3 +207,63 @@ class CheckpointedExtraction:
         discovered partition column (one row per bucket guaranteed by
         the per-bucket overwrite in _commit_bucket)."""
         return self.spark.read.parquet(os.path.join(self.output_dir, "lineage"))
+
+
+# ===========================================================================
+# S4: step-stamped checkpoint sink + manifest-filtered scan
+# ===========================================================================
+
+class StepCheckpoint:
+    """Step-stamped artifact checkpointing with resume-by-latest-step.
+
+    The reference saves artifacts under ``step_{N}/`` during long runs
+    (train_cities_steering.py:723-727, train_functions_steering.py:401-406)
+    and resumes by loading the latest step's files
+    (train_lee.py:199-203, analyse_depth.py:36-41, analyse_vectors.py:36-43).
+    Spark-side model: each step is one parquet directory written first,
+    then committed by an atomic manifest rename — a reader/restart only
+    ever sees fully-written steps, so a kill between the parquet write
+    and the commit leaves an orphan directory that the next save of the
+    same step simply overwrites (the same unreferenced-file semantics
+    as the bucket commits above).
+    """
+
+    def __init__(self, spark: SparkSession, ckpt_dir: str):
+        self.spark = spark
+        self.ckpt_dir = ckpt_dir
+        os.makedirs(ckpt_dir, exist_ok=True)
+
+    def _step_dir(self, step: int) -> str:
+        return os.path.join(self.ckpt_dir, f"step_{step}")
+
+    def _read_steps(self) -> list[int]:
+        m = read_manifest(self.ckpt_dir)
+        return sorted(m.get("steps", []))
+
+    def save(self, df: DataFrame, step: int) -> None:
+        """Write ``step_{N}`` parquet, then commit it to the manifest."""
+        df.write.mode("overwrite").parquet(self._step_dir(step))
+        m = read_manifest(self.ckpt_dir)
+        m["steps"] = sorted(set(m.get("steps", [])) | {step})
+        _write_manifest(self.ckpt_dir, m)
+
+    def steps(self) -> list[int]:
+        """Committed step ids (ascending)."""
+        return self._read_steps()
+
+    def latest_step(self) -> int | None:
+        steps = self._read_steps()
+        return steps[-1] if steps else None
+
+    def load(self, step: int) -> DataFrame:
+        if step not in self._read_steps():
+            raise ValueError(f"step {step} is not committed in {self.ckpt_dir}")
+        return self.spark.read.parquet(self._step_dir(step))
+
+    def load_latest(self) -> DataFrame:
+        """Resume point: the newest COMMITTED step (uncommitted orphan
+        directories from a crash are invisible here)."""
+        step = self.latest_step()
+        if step is None:
+            raise ValueError(f"no committed steps in {self.ckpt_dir}")
+        return self.load(step)

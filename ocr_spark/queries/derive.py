@@ -104,25 +104,17 @@ def with_transcripts(sql: str) -> str:
     return f"WITH transcripts AS ({TRANSCRIPTS_CTE})\n{sql}"
 
 
-def derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark mirror of :data:`TRANSCRIPTS_CTE` (same values, DataFrame API)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    conv_id = F.concat(F.lit("conv"), F.lpad(F.col("doc_id").cast("string"), 8, "0"))
-
-    did = F.col("doc_id")
+def spark_user_text(did):
+    """Spark mirror of :func:`_sql_user_text` for an id column ``did``."""
     city = _spark_pick([str(c) for c in CITY_IDS], did % 5)
     other = _spark_pick(OTHER_CITIES, did % 6)
     unit = _spark_pick(DIST_UNITS, did % 4)
-    direction = _spark_pick(DIRECTIONS, did % 4)
     fa = _spark_pick(FN_NAMES, did % 6)
     fb = _spark_pick(FN_NAMES, (did + 1) % 6)
     word = _spark_pick(MCQ_WORDS, did % 5)
-    letter = _spark_pick(LETTERS, did % 5)
-    dist = (((did % 90) + 10) * 100).cast("string")
     nl = F.lit("\n")
     v = (did % 4).cast("int")
-
-    user_text = (
+    return (
         F.when(v == 0, F.concat(
             F.lit("In the Mercator projection, what is the cardinal direction of "),
             other, F.lit(" relative to City "), city, F.lit("?")))
@@ -138,12 +130,40 @@ def derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("A) a function"), nl, F.lit("B) a city"), nl,
             F.lit("C) a movie"), nl, F.lit("D) a person"), nl, F.lit("E) none")))
     )
-    assistant_text = (
+
+
+def spark_assistant_text(did):
+    """Spark mirror of :func:`_sql_assistant_text` for an id column ``did``."""
+    city = _spark_pick([str(c) for c in CITY_IDS], did % 5)
+    other = _spark_pick(OTHER_CITIES, did % 6)
+    unit = _spark_pick(DIST_UNITS, did % 4)
+    direction = _spark_pick(DIRECTIONS, did % 4)
+    letter = _spark_pick(LETTERS, did % 5)
+    dist = (((did % 90) + 10) * 100).cast("string")
+    v = (did % 4).cast("int")
+    return (
         F.when(v == 0, F.concat(other, F.lit(" is "), direction, F.lit(" of City "), city, F.lit(".")))
         .when(v == 1, F.concat(dist, F.lit(" "), unit))
         .when(v == 2, (did % 1000).cast("string"))
         .otherwise(F.when(did % 20 == 0, F.lit("i am not sure")).otherwise(letter))
     )
+
+
+def derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of :data:`TRANSCRIPTS_CTE` (same values, DataFrame API).
+
+    NOTE: this is the 3-turn oracle shape — exactly one system / user /
+    assistant turn per conversation.  Queries built on its ``_merged``
+    conditional aggregation are correct ONLY on this shape; the general
+    k-turn conversation logic is exercised by the ``*_multiturn``
+    queries over :func:`ocr_spark.queries.multiturn.derived_transcripts_mt`.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    conv_id = F.concat(F.lit("conv"), F.lpad(F.col("doc_id").cast("string"), 8, "0"))
+
+    did = F.col("doc_id")
+    user_text = spark_user_text(did)
+    assistant_text = spark_assistant_text(did)
 
     sys_rows = docs.select(
         conv_id.alias("conv_id"), F.lit(0).alias("turn_idx"),

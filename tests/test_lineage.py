@@ -108,3 +108,36 @@ def test_bucket_count_mismatch_rejected(spark, ckpt):
     other = CheckpointedExtraction(spark, ckpt.output_dir, n_buckets=4)
     with pytest.raises(ValueError, match="n_buckets"):
         other.pending_buckets()
+
+
+def test_step_checkpoint_resume(spark, tmp_path):
+    """S4: step-stamped checkpoint scan (reference train_lee.py:199-203
+    resume-by-latest-step): save two synthetic steps, plant an orphan
+    uncommitted step dir (crash between write and manifest commit),
+    and assert the reader resumes from the latest COMMITTED step."""
+    from ocr_spark.lineage import StepCheckpoint
+
+    ck = StepCheckpoint(spark, str(tmp_path / "ckpt"))
+    with pytest.raises(ValueError, match="no committed steps"):
+        ck.load_latest()
+
+    v0 = spark.createDataFrame([(i, float(i) / 10) for i in range(20)], "cid int, v double")
+    v1 = spark.createDataFrame([(i, float(i) / 5) for i in range(20)], "cid int, v double")
+    ck.save(v0, step=100)
+    ck.save(v1, step=200)
+    assert ck.steps() == [100, 200]
+
+    # crash-orphan: parquet written but never committed to the manifest
+    v1.write.mode("overwrite").parquet(os.path.join(ck.ckpt_dir, "step_300"))
+    assert ck.latest_step() == 200
+
+    # a fresh reader (restart) resumes from step 200, not the orphan
+    resumed = StepCheckpoint(spark, ck.ckpt_dir)
+    got = sorted((r["cid"], r["v"]) for r in resumed.load_latest().collect())
+    want = sorted((r["cid"], r["v"]) for r in v1.collect())
+    assert got == want
+    assert sorted((r["cid"], r["v"]) for r in resumed.load(100).collect()) == sorted(
+        (r["cid"], r["v"]) for r in v0.collect()
+    )
+    with pytest.raises(ValueError, match="not committed"):
+        resumed.load(300)
