@@ -60,7 +60,14 @@ ORDER BY conv_id
 
 
 def _merged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1 merge as conditional aggregation (utils.py:72-74)."""
+    """P1 merge as conditional aggregation (utils.py:72-74).
+
+    SCOPE: correct only on the 3-turn oracle shape (exactly one turn
+    per role — ``max(CASE WHEN role=...)`` picks *the* turn).  The
+    general k-turn merge lives in queries/multiturn.py
+    (``p1_turn_merge_multiturn``: merge-into-FIRST-user via min-struct)
+    and in the pipeline's grouped kernel, both of which handle any
+    turn count."""
     t = derived_transcripts(spark, sf_dir)
     return t.groupBy("conv_id").agg(
         F.concat(

@@ -451,22 +451,59 @@ def ann_lsh_bucketed(spark, sf_dir):
     )
 
 
+#: Near-dup cosine threshold for the catalog entry.  Production
+#: embedding near-dup uses ~0.8-0.95; the synthetic test embeddings are
+#: near-uniform (max pairwise cosine ~0.51 at sf0.01), so the catalog
+#: pins the filter at 0.35 so the gate checks real surviving rows
+#: instead of an always-empty result.
+NEARDUP_COS_MIN = 0.35
+
 @_register(
     "embedding_neardup",
     f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN {sql_micros_extract('embedding', '1')} >= 0 THEN 4 ELSE 0 END +
+          CASE WHEN {sql_micros_extract('embedding', '2')} >= 0 THEN 2 ELSE 0 END +
+          CASE WHEN {sql_micros_extract('embedding', '3')} >= 0 THEN 1 ELSE 0 END) AS bucket
+  FROM embeddings
+)
 SELECT q.vec_id AS doc_a, n.vec_id AS doc_b, {_SQL_COS} AS cosine
-FROM embeddings n
-CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 10 = 0) q
-WHERE n.vec_id > q.vec_id AND {_SQL_COS} >= 0.8
+FROM b n JOIN b q ON n.bucket = q.bucket AND n.vec_id > q.vec_id
+WHERE {_SQL_COS} >= {NEARDUP_COS_MIN}
 """,
 )
 def embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs above a threshold (sampled query
-    side to bound the pair count; LSH buckets bound it at scale)."""
-    pairs = _cosine_pairs(spark, sf_dir, F.col("vec_id") % 10 == 0)
+    """Embedding-cosine near-dup pairs above a threshold, LSH-bucketed:
+    sign-buckets on the leading dims make the candidate join an
+    equi-join on bucket over the WHOLE corpus — the 100 TB-shape
+    default (no sampled/broadcast query side, no all-pairs).  Recall<1
+    by design (near-dups that straddle a hyperplane are missed; more
+    planes / multiple tables recover them).  At scale the plane count
+    is sized so 2^planes far exceeds the partition count, keeping
+    per-bucket pair counts bounded."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", micros(F.col("embedding")).alias("e"))
+    emb = emb.withColumn(
+        "n2", F.aggregate(F.transform("e", lambda x: x * x), F.lit(0).cast("long"),
+                          lambda acc, x: acc + x))
+    bucket = (
+        F.when(F.element_at("e", 1) >= 0, 4).otherwise(0)
+        + F.when(F.element_at("e", 2) >= 0, 2).otherwise(0)
+        + F.when(F.element_at("e", 3) >= 0, 1).otherwise(0)
+    )
+    emb = emb.withColumn("bucket", bucket)
+    q = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
+        F.col("n2").alias("qn2"), F.col("bucket").alias("qb"))
+    joined = emb.join(
+        q, (F.col("bucket") == F.col("qb")) & (F.col("vec_id") > F.col("q_id")))
+    dot = dot_micros(F.col("qe"), F.col("e"))
     return (
-        pairs.filter((F.col("vec_id") > F.col("q_id")) & (F.col("cosine") >= 0.8))
-        .select(F.col("q_id").alias("doc_a"), F.col("vec_id").alias("doc_b"), "cosine")
+        joined.select(
+            F.col("q_id").alias("doc_a"), F.col("vec_id").alias("doc_b"),
+            cosine_from_micros(dot, F.col("qn2"), F.col("n2")).alias("cosine"))
+        .filter(F.col("cosine") >= NEARDUP_COS_MIN)
     )
 
 
