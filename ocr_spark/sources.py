@@ -135,6 +135,60 @@ def extract_from_jsonl(spark: SparkSession, path: str) -> DataFrame:
     return extract_conversations(load_conversations_jsonl(spark, path))
 
 
+#: Declared schema of one feature-explanation record (S9).  The
+#: reference's API export is a JSON array of objects with these fields
+#: (kl.py:458-467); extra fields are pruned by the declared schema.
+FEATURE_EXPLANATION_SCHEMA = StructType(
+    [
+        StructField("modelId", StringType()),
+        StructField("layer", StringType()),
+        StructField("index", StringType()),
+        StructField("description", StringType()),
+    ]
+)
+
+
+def load_feature_explanations(spark: SparkSession, source: str) -> DataFrame:
+    """S9: remote-API explanation source -> small dimension DataFrame.
+
+    Reference kl.py:458-467: ``requests.get(url).json()`` ->
+    ``pd.DataFrame`` -> rename ``index`` to ``feature`` -> lowercase
+    ``description``.  Modeled here as a connector producing the same
+    dimension table: a local path (JSON / JSONL export of the same
+    records) reads through the declared schema; an ``http(s)://``
+    source fetches once on the driver (gated import — the result is a
+    small dimension, never distributed-scanned) and parallelizes the
+    records.  Consumers broadcast-join it (J1/J3 — e.g. the
+    description-contains theta-join, kl.py:473-475)."""
+    if source.startswith(("http://", "https://")):
+        try:
+            import requests  # noqa: PLC0415 — optional, network-gated
+        except ImportError as e:  # pragma: no cover - env without requests
+            raise RuntimeError(
+                "remote explanation source needs the 'requests' package; "
+                "pass a local JSON export instead"
+            ) from e
+        data = requests.get(
+            source, headers={"Content-Type": "application/json"}, timeout=60
+        ).json()
+        raw = spark.createDataFrame(
+            [
+                tuple(str(r[k]) if r.get(k) is not None else None
+                      for k in ("modelId", "layer", "index", "description"))
+                for r in data
+            ],
+            FEATURE_EXPLANATION_SCHEMA,
+        )
+    else:
+        raw = spark.read.schema(FEATURE_EXPLANATION_SCHEMA).json(source)
+    return raw.select(
+        "modelId",
+        "layer",
+        F.col("index").alias("feature"),
+        F.lower(F.col("description")).alias("description"),
+    )
+
+
 def load_var_dict(path: str) -> dict:
     """S2: YAML config scan (utils.py:46-51 load_var_dict reads
     ``dataset.var_dict``).  Driver-side: configs are not data; the

@@ -335,3 +335,54 @@ class TestTokenizer:
         a = DeterministicTokenizer().encode("Hello, World! 42\n")
         b = DeterministicTokenizer().encode("Hello, World! 42\n")
         assert a == b
+
+
+class TestProperties:
+    """Property-based invariants (SURVEY.md §5 test plan): these hold
+    for ALL inputs, not just goldens."""
+
+    @given(
+        st.text(alphabet=st.characters(blacklist_characters="<"), max_size=60),
+        st.text(alphabet=st.characters(blacklist_characters="<"), max_size=60),
+    )
+    def test_render_split_roundtrip(self, user, assistant):
+        """split_completion inverts render_chat_template for any 2-turn
+        conversation whose payloads don't inject template markers:
+        prompt+completion recompose byte-exactly and the completion is
+        the assistant payload plus the turn terminator."""
+        rendered = render_chat_template(
+            [{"role": "user", "content": user},
+             {"role": "assistant", "content": assistant}]
+        )
+        prompt, completion = split_completion(rendered)
+        assert prompt + completion == rendered
+        assert completion == assistant + "<end_of_turn>\n"
+        assert prompt.endswith(GEMMA_MODEL_MARKER)
+
+    @given(st.text(max_size=120))
+    def test_char_to_token_total_coverage(self, text):
+        """Every char index maps to exactly one token (the reference
+        raises when HF offset mapping fails, utils.py:183 — our
+        tokenizer makes that impossible by construction)."""
+        enc = DeterministicTokenizer().encode_with_offsets(text)
+        for i in range(len(text)):
+            tok = enc.char_to_token(i)
+            assert tok is not None
+            s, e = enc.offsets[tok]
+            assert s <= i < e
+
+    @given(st.text(max_size=120))
+    def test_classify_completion_class_is_evidence_backed(self, text):
+        """The returned class always has its textual evidence: direction
+        implies a direction word is present; distance implies the
+        stripped body endswith a distance suffix; ok=False implies
+        class 'other' (train_cities.py:80 xor-assert as fallback)."""
+        cls, ok = classify_completion(text + "<end_of_turn>\n")
+        if cls == "direction":
+            assert any(w in text for w in (" North", " South", " East", " West"))
+            assert ok
+        elif cls == "distance":
+            assert any(text.endswith(s) for s in ("km", "ilometers", "mi", "iles"))
+            assert ok
+        else:
+            assert not ok

@@ -137,6 +137,33 @@ def test_reference_jsonl_matches_pure_kernels(spark):
             assert got[text][0] == cls
 
 
+def test_load_feature_explanations_local(spark, tmp_path):
+    """S9 connector on a local JSON export: declared schema, index ->
+    feature rename, lowercased description (reference kl.py:458-475)."""
+    from ocr_spark.sources import load_feature_explanations
+
+    p = tmp_path / "explanations.jsonl"
+    rows = [
+        {"modelId": "gemma-2-9b", "layer": "12-gemmascope-res-16k",
+         "index": "101", "description": "Mentions of CITY Names",
+         "typeName": "oai_token-act-pair"},
+        {"modelId": "gemma-2-9b", "layer": "12-gemmascope-res-16k",
+         "index": "7", "description": "Cardinal DIRECTIONS"},
+    ]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    df = load_feature_explanations(spark, str(p))
+    assert df.columns == ["modelId", "layer", "feature", "description"]
+    got = {r["feature"]: r["description"] for r in df.collect()}
+    assert got == {"101": "mentions of city names", "7": "cardinal directions"}
+
+    # dimension-table consumer shape: description-contains theta-join (J3)
+    hits = df.filter(F.col("description").contains("city")).count()
+    assert hits == 1
+
+
 def test_load_var_dict(tmp_path):
     from ocr_spark.sources import load_var_dict
     p = tmp_path / "cfg.yaml"
