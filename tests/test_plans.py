@@ -1,0 +1,82 @@
+"""Plan-shape regression guards (SURVEY.md §4 discipline).
+
+These assert the *physical plan* properties the 100 TB design depends
+on — they catch a silent regression to a single-task window, a lost
+broadcast, or an extra shuffle long before any timing would.
+"""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from ocr_spark.queries import QUERIES
+from tests.conftest import SF_DIR_ORACLE
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()  # simple mode keeps node arguments inline
+    return buf.getvalue()
+
+
+def test_w4_stride_has_no_big_single_partition_exchange(spark):
+    """The global rank must never funnel the events table through one
+    task: the only SinglePartition exchange allowed is the tiny
+    per-bucket-count aggregate (rows == #buckets), which sits under the
+    BroadcastExchange side of the offsets join."""
+    plan = _plan(QUERIES["w4_stride_sample"](spark, SF_DIR_ORACLE))
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "BroadcastExchange" in plan
+    # the big window is partitioned by bucket, not global
+    assert "row_number" in plan
+
+
+def test_rendered_mt_is_single_shuffle(spark):
+    """x3_render_multiturn: one groupBy(conv_id) shuffle, no re-join of
+    the turn table (which would shuffle the turns a second time)."""
+    from ocr_spark.queries.multiturn import _rendered_mt
+
+    plan = _plan(_rendered_mt(spark, SF_DIR_ORACLE))
+    # exactly one hash-partitioning exchange (the conv_id groupBy)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_flagship_pipeline_is_single_shuffle(spark):
+    """extract_conversations: one conv_id shuffle feeding one Arrow
+    mapInPandas — the north_rule hot-loop shape."""
+    from ocr_spark.pipeline import extract_conversations
+    from ocr_spark.synth import transcripts
+
+    plan = _plan(extract_conversations(transcripts(spark, 50, seed=42)))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "MapInPandas" in plan
+
+
+def test_broadcast_lookup_joins_are_broadcast(spark):
+    """j1: the 5-row dimension must come in via BroadcastHashJoin, never
+    a shuffle join."""
+    plan = _plan(QUERIES["j1_broadcast_lookup"](spark, SF_DIR_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_native_path_has_no_exchange_or_python(spark):
+    """classify_turns: zero shuffles, zero Python — pure whole-stage
+    codegen over the scan (the 10^12-turn path)."""
+    from ocr_spark.pipeline import classify_turns
+    from ocr_spark.synth import transcripts
+
+    plan = _plan(classify_turns(transcripts(spark, 50, seed=42)))
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_scan_prunes_columns(spark):
+    """Column pruning reaches the parquet scan: a 2-column projection
+    must not read the whole documents schema."""
+    docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    plan = _plan(docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"))
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
