@@ -105,8 +105,11 @@ def run_throughput(cpus: int, data_dir: str) -> dict:
         _noop(extract_conversations(df))
         elapsed = min(elapsed, time.time() - t0)
 
+    # The native passes are sub-second at high core counts, so a single
+    # slow pass dominates a best-of-2; 4 passes keeps the min estimate
+    # stable for a few extra seconds of wall time.
     native_elapsed = float("inf")
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.time()
         _noop(classify_turns(df))
         native_elapsed = min(native_elapsed, time.time() - t0)

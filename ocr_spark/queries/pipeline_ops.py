@@ -139,17 +139,17 @@ def dedup_exact(spark, sf_dir):
 #: signal (standard MinHash practice), so both the sizes and the
 #: common-count run over the capped set: the result is Jaccard over
 #: rare-shingle sets, identical on both engine and oracle.
-NGRAM_DF_CAP = 64
+NGRAM_DF_CAP = 8
 
 @_register(
     "dedup_ngram_jaccard",
     f"""
 WITH sh0 AS ({_SQL_SHINGLES}),
-rare AS (
-  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh0 GROUP BY sh)
-  WHERE df <= {NGRAM_DF_CAP}
+sh AS (
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0
+  ) WHERE df <= {NGRAM_DF_CAP}
 ),
-sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN rare ON sh0.sh = rare.sh),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -172,13 +172,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
     all-pairs); jaccard is exact-int arithmetic over the capped sets."""
     docs = _t(spark, sf_dir, "documents")
     sh0 = shingles(docs)
-    rare = (
-        sh0.groupBy("sh")
-        .agg(F.count("*").alias("df"))
+    # DF cap via count-over-window, not a groupBy+join back: the window
+    # partitions by sh, which is exactly the partitioning the candidate
+    # self-join needs — Spark reuses the exchange instead of exploding
+    # and shuffling the shingle set a second time.
+    sh = (
+        sh0.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
         .filter(F.col("df") <= NGRAM_DF_CAP)
-        .select("sh")
+        .select("doc_id", "sh")
     )
-    sh = sh0.join(rare, "sh").select("doc_id", "sh")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
