@@ -89,6 +89,24 @@ def test_x5_marker_count_is_2k(spark, mt_turns):
         assert got[conv_id] == 2 * n_pairs, conv_id
 
 
+def test_pipeline_handles_multiturn_conversations(spark):
+    """The flagship render path (extract_conversations) over k-turn
+    conversations equals the pure-kernel golden oracle row-for-row —
+    the general-shape twin of tests/test_pipeline.py's equality gate."""
+    from ocr_spark.pipeline import extract_conversations
+    from tests.test_pipeline import _golden_rows, _spark_rows
+
+    t = derived_transcripts_mt(spark, SF_DIR_ORACLE).withColumn(
+        "tool", F.lit(None).cast("string")
+    ).withColumn("ts", F.lit(None).cast("timestamp"))
+    rows = [r.asDict() for r in t.collect()]
+    golden = _golden_rows(rows)
+    got = _spark_rows(extract_conversations(t))
+    assert len(got) == len(golden)
+    for g, o in zip(got, golden):
+        assert g == o, f"mismatch:\n spark={g}\n golden={o}"
+
+
 def test_loader_reshape_matches_kernel(spark):
     """The composite loader's prompt must byte-equal the TEST-style
     merge kernel (utils.py:103 system + "\\n" + user + "\\n" + user2)."""
