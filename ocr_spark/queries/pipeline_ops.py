@@ -296,6 +296,118 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+@_register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE
+sigs AS ({_SQL_MINHASH_SIGS}),
+buckets AS (
+  SELECT doc_id, perm // 2 AS band,
+         CAST(max(CASE WHEN perm % 2 = 0 THEN minhash END) AS VARCHAR) || '_' ||
+         CAST(max(CASE WHEN perm % 2 = 1 THEN minhash END) AS VARCHAR) AS bucket
+  FROM sigs GROUP BY doc_id, perm // 2
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.doc_id, e.d FROM reach JOIN edges e ON reach.r = e.s
+)
+SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+""",
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup cluster assignment: connected components over the
+    MinHash-LSH candidate pairs, every doc labeled with the minimum
+    doc_id reachable in its component (singletons keep their own id) —
+    the step that turns candidate pairs into a keep/drop decision
+    (keep == cluster_id, drop the rest).
+
+    Iterative min-label propagation: each round joins the edge list
+    with current labels and takes the per-node min; labels only
+    decrease, so ``sum(labels)`` is a convergence certificate and the
+    fixpoint (min reachable id) is deterministic regardless of round
+    count or partitioning — it is exactly what the oracle's recursive
+    CTE computes.  Rounds = component diameter; at 100 TB the same
+    loop runs with the alternating large-star/small-star optimization
+    (O(log n) rounds) and a checkpoint per round, but near-dup
+    components are overwhelmingly tiny so the plain loop is the right
+    default."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .unionAll(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .persist()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(20):
+        prop = (
+            edges.join(labels, edges["s"] == labels["doc_id"])
+            .groupBy(F.col("d").alias("nid"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(prop, labels["doc_id"] == prop["nid"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels
+
+
+@_register(
+    "stratified_sample",
+    """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20
+""",
+)
+def stratified_sample(spark, sf_dir):
+    """Stratified per-group sampling: a fixed-size, deterministic
+    sample per stratum (here 20 docs per ``lang``), ordered by a
+    key-derived hash so the pick is uniform-ish, stable under
+    partitioning/retries, and oracle-reproducible — the standard way a
+    training-data pipeline balances sources/languages (never
+    ``rand()``: W3 discipline).  The window is partitioned by stratum,
+    so no global sort; at 100 TB each stratum's top-k reduces
+    per-partition before the final per-stratum merge."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # D4: SimHash
 # ---------------------------------------------------------------------------
