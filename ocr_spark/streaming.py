@@ -138,6 +138,107 @@ def run_stream(
     return q
 
 
+#: State carried per conversation between micro-batches: the buffered
+#: turns as three parallel primitive arrays (same layout rationale as
+#: pipeline.conversations — cheap through Arrow).
+_ASSEMBLE_STATE_SCHEMA = (
+    "turn_idxs array<int>, roles array<string>, texts array<string>"
+)
+
+
+def stream_assemble_extract(stream: DataFrame, vocab=None) -> DataFrame:
+    """Custom stateful operator: assemble conversations ACROSS
+    micro-batches, then run the full render-path extraction per
+    completed conversation (``applyInPandasWithState``).
+
+    The stateless streaming path (stream_classify) emits per-turn rows
+    immediately; this operator provides the conversation-level
+    semantics on a stream: turns buffer in the state store keyed by
+    conv_id until the conversation completes — by the corpus's
+    convention, the trailing ``assistant`` turn — then the buffered
+    turns run through the same Arrow kernel driver as the batch
+    pipeline (pipeline._extract_batches) and the state is dropped, so
+    state size is bounded by in-flight (incomplete) conversations
+    only.  A production deployment adds an event-time timeout that
+    flushes stale conversations as ``fallback`` rows; with
+    ``availableNow`` drains the terminal turn always arrives, so the
+    timeout path is deliberately left to deployment.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ocr_spark.pipeline import DEFAULT_VOCAB, EXTRACT_SCHEMA, _extract_batches
+
+    vocab = list(vocab or DEFAULT_VOCAB)
+
+    def assemble(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        (conv_id,) = key
+        turn_idxs, roles, texts = (
+            ([*state.get[0]], [*state.get[1]], [*state.get[2]])
+            if state.exists
+            else ([], [], [])
+        )
+        for pdf in pdfs:
+            turn_idxs.extend(int(i) for i in pdf["turn_idx"])
+            roles.extend(pdf["role"])
+            texts.extend(pdf["text"])
+        if "assistant" in roles:
+            state.remove()
+            order = sorted(range(len(turn_idxs)), key=lambda i: turn_idxs[i])
+            conv = pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "turn_idxs": [[turn_idxs[i] for i in order]],
+                    "roles": [[roles[i] for i in order]],
+                    "texts": [[texts[i] for i in order]],
+                }
+            )
+            yield from _extract_batches(iter([conv]), vocab)
+        else:
+            state.update((turn_idxs, roles, texts))
+            return
+
+    return (
+        stream.select("conv_id", "turn_idx", "role", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            assemble,
+            outputStructType=EXTRACT_SCHEMA,
+            stateStructType=_ASSEMBLE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_assemble_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    vocab=None,
+    max_files: int = 1,
+):
+    """Drain a turn-file drop directory through the stateful
+    conversation assembler into parquet (one file per micro-batch via
+    the checkpointed sink).  ``max_files=1`` forces one input file per
+    micro-batch so conversations split across files genuinely cross
+    the state-store boundary."""
+    extracted = stream_assemble_extract(
+        read_transcript_stream(spark, input_dir, max_files=max_files), vocab
+    )
+    q = (
+        extracted.writeStream.format("parquet")
+        .option("path", os.path.join(output_dir, "data"))
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def stream_turn_rate(
     stream: DataFrame,
     window_duration: str = "1 hour",

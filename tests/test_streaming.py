@@ -91,6 +91,67 @@ def test_stream_spans_match_batch_path(spark, dirs):
     assert ("City 50337", 5, 15) in spans
 
 
+def test_stateful_assembly_across_microbatches(spark, dirs):
+    """applyInPandasWithState conversation assembly: each conversation's
+    turns are SPLIT across two input files and maxFilesPerTrigger=1
+    forces them into different micro-batches — turns must buffer in the
+    state store and the assembled extraction output must equal the
+    batch pipeline over the same turns."""
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from ocr_spark.pipeline import extract_conversations
+    from ocr_spark.streaming import run_assemble_stream
+
+    inp, out = dirs
+    n = 30
+    sys_txt = "You are a geography assistant."
+    rows = []
+    for i in range(n):
+        a = ["Akureyri is North of City 50337.", "4200 km", "i am not sure"][i % 3]
+        rows.append([
+            {"conv_id": f"s{i:03d}", "turn_idx": 0, "role": "system",
+             "text": sys_txt, "tool": None, "ts": "2024-01-01T00:00:00"},
+            {"conv_id": f"s{i:03d}", "turn_idx": 1, "role": "user",
+             "text": f"From City 50337 to Akureyri, how far? ({i})", "tool": None,
+             "ts": "2024-01-01T00:00:01"},
+            {"conv_id": f"s{i:03d}", "turn_idx": 2, "role": "assistant", "text": a,
+             "tool": None, "ts": "2024-01-01T00:00:02"},
+        ])
+    # file a: system+user turns only; file b: the terminal assistant turns
+    _write_jsonl(os.path.join(inp, "a_prefix.jsonl"),
+                 [t for conv in rows for t in conv[:2]])
+    _write_jsonl(os.path.join(inp, "b_final.jsonl"),
+                 [t for conv in rows for t in conv[2:]])
+
+    run_assemble_stream(spark, inp, out, max_files=1)
+
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["role"], r["clean_text"],
+         r["block_class"], r["answer"], r["status"], r["n_tokens"])
+        for r in spark.read.parquet(os.path.join(out, "data")).collect()
+    )
+
+    schema = StructType([
+        StructField("conv_id", StringType()), StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()), StructField("text", StringType()),
+        StructField("tool", StringType()), StructField("ts", TimestampType()),
+    ])
+    batch_in = spark.createDataFrame(
+        [(t["conv_id"], t["turn_idx"], t["role"], t["text"], None, None)
+         for conv in rows for t in conv],
+        schema,
+    )
+    want = sorted(
+        (r["conv_id"], r["turn_idx"], r["role"], r["clean_text"],
+         r["block_class"], r["answer"], r["status"], r["n_tokens"])
+        for r in extract_conversations(batch_in).collect()
+    )
+    assert got == want
+    assert len(got) == 3 * n
+
+
 def test_windowed_aggregation_with_watermark(spark, dirs, tmp_path):
     """Event-time windowed counts on a stream equal the same windowed
     aggregation computed in batch over the same files."""
