@@ -702,6 +702,52 @@ def text_quality(spark, sf_dir):
 
 
 @_register(
+    "text_repetition",
+    f"""
+WITH sh AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
+  FROM (
+    SELECT doc_id, words, unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i
+    FROM (SELECT doc_id, str_split(text, ' ') AS words FROM documents)
+  )
+),
+per AS (
+  SELECT doc_id, sum(c) AS n_grams, max(c) AS top_count
+  FROM (SELECT doc_id, sh, count(*) AS c FROM sh GROUP BY doc_id, sh)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_grams, top_count,
+       CAST(top_count AS DOUBLE) / n_grams AS repetition_ratio
+FROM per
+""",
+)
+def text_repetition(spark, sf_dir):
+    """Within-document repetition scoring: the share of a doc's 3-gram
+    occurrences taken by its most frequent 3-gram — the standard
+    boilerplate/spam filter signal (a high ratio means the document
+    repeats itself).  NOTE: unlike the dedup shingles, occurrences are
+    NOT deduped here (repetition is the signal).  groupBy(doc_id, sh)
+    then groupBy(doc_id): both aggregations hash-partition by doc_id
+    prefix, so Catalyst plans one shuffle and the second agg is
+    partition-local; exact integer counts, one double division at the
+    end."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+        " i -> array_join(slice(split(text, ' '), i, 3), ' '))"
+    )
+    sh = docs.select("doc_id", F.explode(grams).alias("sh"))
+    counts = sh.groupBy("doc_id", "sh").agg(F.count("*").alias("c"))
+    per = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"), F.max("c").alias("top_count")
+    )
+    return per.select(
+        "doc_id", "n_grams", "top_count",
+        (F.col("top_count").cast("double") / F.col("n_grams")).alias("repetition_ratio"),
+    )
+
+
+@_register(
     "lang_id",
     f"""
 SELECT doc_id, lang,
