@@ -198,6 +198,101 @@ class DeterministicTokenizer:
         return occurrences
 
 
+# ---------------------------------------------------------------------------
+# Vectorized piece counting (the n_tokens hot path)
+# ---------------------------------------------------------------------------
+#
+# ``count_tokens`` == ``len(_PIECE_RE.findall(text))`` is the single
+# most expensive kernel op per profile (the full alternation regex
+# scans every char).  The regex is a char-class tiling, so the count
+# can be computed with numpy over code points: classify each char
+# (S=space, D=digit, N=newline, W=other-ws, L=letter/apostrophe,
+# P=other), then a piece STARTS at every S/D/N/W char and at every
+# L (resp. P) whose predecessor is neither L (run continuation) nor
+# S (the ` ?` absorption in the regex).  Rows that can hit the
+# special-token alternatives (contain ``<``) or astral code points
+# fall back to the regex — bit-equality preserved by construction and
+# pinned by a hypothesis property (tests/test_kernels.py).
+
+_CLS_S, _CLS_D, _CLS_N, _CLS_W, _CLS_L, _CLS_P = range(6)
+_CLS_LUT = None
+
+
+def _cls_lut():
+    global _CLS_LUT
+    if _CLS_LUT is None:
+        import numpy as np
+
+        _letter = re.compile(r"[A-Za-zÀ-ɏ']")
+        _digit = re.compile(r"\d")
+        _ws = re.compile(r"\s")
+        lut = np.empty(0x10000, dtype=np.uint8)
+        for cp in range(0x10000):
+            ch = chr(cp)
+            if ch == " ":
+                c = _CLS_S
+            elif ch == "\n":
+                c = _CLS_N
+            elif _digit.match(ch):
+                c = _CLS_D
+            elif _letter.match(ch):
+                c = _CLS_L
+            elif _ws.match(ch):
+                c = _CLS_W
+            else:
+                c = _CLS_P
+            lut[cp] = c
+        _CLS_LUT = lut
+    return _CLS_LUT
+
+
+def count_pieces_batch(texts) -> "list":
+    """Per-row ``count_tokens`` over an iterable of strings, numpy-fast.
+
+    Exactly ``len(_PIECE_RE.findall(t))`` per row; ~6x cheaper than
+    running the regex.  None counts as 0 (mirrors the UDF contract).
+    """
+    import numpy as np
+
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    fast_idx: list[int] = []
+    fast_texts: list[str] = []
+    for i, t in enumerate(texts):
+        if t is None or not t:
+            continue
+        if "<" in t:
+            out[i] = len(_PIECE_RE.findall(t))
+        else:
+            fast_idx.append(i)
+            fast_texts.append(t)
+    if not fast_texts:
+        return out
+    joined = "\n".join(fast_texts)
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    if cps.max(initial=0) > 0xFFFF:
+        for i, t in zip(fast_idx, fast_texts):
+            out[i] = len(_PIECE_RE.findall(t))
+        return out
+    cls = _cls_lut()[cps]
+    prev = np.empty_like(cls)
+    prev[0] = _CLS_N  # virtual separator: first char starts a piece
+    prev[1:] = cls[:-1]
+    # S/D/N/W (classes < L) always start a piece; a run class (L/P)
+    # starts one iff its predecessor is neither the same class (run
+    # continuation) nor a space (the regex's ` ?` absorption).
+    starts = (cls < _CLS_L) | ((prev != cls) & (prev != _CLS_S))
+    # per-row totals without a weighted bincount: prefix-sum the start
+    # flags once, then difference at each row's [begin, begin+len) span
+    # (the '\n' separators sit between spans and drop out naturally)
+    cs = np.concatenate((np.zeros(1, dtype=np.int64), np.cumsum(starts, dtype=np.int64)))
+    lens = np.fromiter((len(t) for t in fast_texts), dtype=np.int64, count=len(fast_texts))
+    begins = np.concatenate((np.zeros(1, dtype=np.int64), np.cumsum(lens + 1)))[:-1]
+    counts = cs[begins + lens] - cs[begins]
+    out[np.asarray(fast_idx, dtype=np.int64)] = counts
+    return out
+
+
 def split_idx_second_marker(ids: list[int], min_idx: int = 10, skip: int = 3) -> int | None:
     """Token index just past the 2nd ``<start_of_turn>`` marker (X5).
 

@@ -386,3 +386,13 @@ class TestProperties:
             assert ok
         else:
             assert not ok
+
+    @given(st.lists(st.text(max_size=60), max_size=20))
+    def test_count_pieces_batch_equals_regex(self, texts):
+        """The numpy char-class piece counter is bit-equal to
+        len(_PIECE_RE.findall(t)) for arbitrary input (specials and
+        astral code points route through the regex fallback)."""
+        from ocr_spark.kernels.tokenizer import _PIECE_RE, count_pieces_batch
+
+        want = [len(_PIECE_RE.findall(t)) for t in texts]
+        assert list(count_pieces_batch(texts)) == want
