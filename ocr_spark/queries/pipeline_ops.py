@@ -348,7 +348,15 @@ def dedup_clusters(spark, sf_dir):
         .unionAll(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
         .persist()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    # Propagate only over nodes that HAVE edges: singletons (the vast
+    # majority of a deduped corpus) can never change label, so they
+    # join back in one anti-join at the end instead of riding along
+    # through every iteration.
+    labels = (
+        edges.select(F.col("s").alias("doc_id")).distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .persist()
+    )
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(20):
         prop = (
@@ -356,6 +364,9 @@ def dedup_clusters(spark, sf_dir):
             .groupBy(F.col("d").alias("nid"))
             .agg(F.min("cluster_id").alias("nmin"))
         )
+        # localCheckpoint (not just persist) truncates the lineage each
+        # round — without it the logical plan doubles per iteration and
+        # replanning dominates the loop by round 4
         new_labels = (
             labels.join(prop, labels["doc_id"] == prop["nid"], "left")
             .select(
@@ -364,7 +375,7 @@ def dedup_clusters(spark, sf_dir):
                     F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
         labels.unpersist()
@@ -373,7 +384,10 @@ def dedup_clusters(spark, sf_dir):
             break
         prev_sum = new_sum
     edges.unpersist()
-    return labels
+    singletons = docs.join(
+        labels.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("cluster_id"))
+    return labels.unionByName(singletons)
 
 
 @_register(
