@@ -391,6 +391,44 @@ def dedup_clusters(spark, sf_dir):
 
 
 @_register(
+    "batch_packing",
+    """
+SELECT doc_id, n_words, bin_id FROM (
+  SELECT doc_id, n_words,
+         (sum(n_words) OVER (
+            PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_words) // 256 AS bin_id
+  FROM (SELECT doc_id, lang, len(str_split(text, ' ')) AS n_words FROM documents)
+)
+""",
+)
+def batch_packing(spark, sf_dir):
+    """Sequence packing (training-batch assembly): assign docs to
+    fixed-token-budget bins by running length total — the scalable
+    approximation of first-fit packing (exact bin-packing is
+    inherently sequential; the cumulative-sum form is what a 100 TB
+    pipeline actually ships).  Partitioned per ``lang`` stratum so the
+    prefix-sum window never funnels the corpus through one task; a
+    doc's bin = floor(exclusive-prefix-sum / budget).  Deterministic:
+    ordering is by doc_id, lengths are exact word counts."""
+    docs = _t(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_len = docs.select("doc_id", "lang", n_words.alias("n_words"))
+    return with_len.select(
+        "doc_id",
+        "n_words",
+        F.floor((F.sum("n_words").over(w) - F.col("n_words")) / 256)
+        .cast("long")
+        .alias("bin_id"),
+    )
+
+
+@_register(
     "stratified_sample",
     """
 SELECT doc_id, lang FROM (
