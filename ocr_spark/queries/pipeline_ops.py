@@ -407,24 +407,48 @@ def batch_packing(spark, sf_dir):
     fixed-token-budget bins by running length total — the scalable
     approximation of first-fit packing (exact bin-packing is
     inherently sequential; the cumulative-sum form is what a 100 TB
-    pipeline actually ships).  Partitioned per ``lang`` stratum so the
-    prefix-sum window never funnels the corpus through one task; a
-    doc's bin = floor(exclusive-prefix-sum / budget).  Deterministic:
-    ordering is by doc_id, lengths are exact word counts."""
+    pipeline actually ships).  ``bin = floor(exclusive prefix sum of
+    lengths within the lang stratum / budget)``.
+
+    A stratum (language) is LOW-cardinality, so a naive
+    ``Window.partitionBy(lang)`` prefix sum funnels a whole language
+    through one task — the same anti-pattern as a global rank.  Same
+    cure as w4_stride_sample: cut the doc_id space into ordered coarse
+    buckets, roll per-(lang,bucket) length totals into cumulative
+    offsets (a window over the tiny bucket table only), and each
+    doc's stratum-wide prefix sum = bucket offset + prefix sum within
+    its own (lang,bucket) partition.  Deterministic: ordering is by
+    doc_id, lengths are exact word counts."""
     docs = _t(spark, sf_dir, "documents")
     n_words = F.size(F.split("text", " ")).cast("long")
-    w = (
-        Window.partitionBy("lang")
+    b = docs.select(
+        "doc_id", "lang", n_words.alias("n_words"),
+        F.floor(F.col("doc_id") / 1024).alias("bucket"),
+    )
+    counts = b.groupBy("lang", "bucket").agg(F.sum("n_words").alias("bucket_words"))
+    offsets = counts.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("bucket_words").over(
+                Window.partitionBy("lang")
+                .orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ),
+    ).select("lang", "bucket", "offset")
+    local_w = (
+        Window.partitionBy("lang", "bucket")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_len = docs.select("doc_id", "lang", n_words.alias("n_words"))
-    return with_len.select(
-        "doc_id",
-        "n_words",
-        F.floor((F.sum("n_words").over(w) - F.col("n_words")) / 256)
-        .cast("long")
-        .alias("bin_id"),
+    ranked = b.join(F.broadcast(offsets), ["lang", "bucket"]).withColumn(
+        "prefix",
+        F.col("offset") + F.sum("n_words").over(local_w) - F.col("n_words"),
+    )
+    return ranked.select(
+        "doc_id", "n_words",
+        F.floor(F.col("prefix") / 256).cast("long").alias("bin_id"),
     )
 
 

@@ -55,6 +55,15 @@ def test_flagship_pipeline_is_single_shuffle(spark):
     assert "MapInPandas" in plan
 
 
+def test_batch_packing_prefix_sum_is_bucketed(spark):
+    """The stratum-wide prefix sum must run per (lang,bucket), with the
+    stratum offsets broadcast — a plain per-lang window would funnel a
+    whole language through one task."""
+    plan = _plan(QUERIES["batch_packing"](spark, SF_DIR_ORACLE))
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastExchange" in plan
+
+
 def test_broadcast_lookup_joins_are_broadcast(spark):
     """j1: the 5-row dimension must come in via BroadcastHashJoin, never
     a shuffle join."""
