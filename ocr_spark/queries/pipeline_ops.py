@@ -470,9 +470,11 @@ def stratified_sample(spark, sf_dir):
     key-derived hash so the pick is uniform-ish, stable under
     partitioning/retries, and oracle-reproducible — the standard way a
     training-data pipeline balances sources/languages (never
-    ``rand()``: W3 discipline).  The window is partitioned by stratum,
-    so no global sort; at 100 TB each stratum's top-k reduces
-    per-partition before the final per-stratum merge."""
+    ``rand()``: W3 discipline).  Strata are low-cardinality, but the
+    plan is still scale-safe: Catalyst's WindowGroupLimit keeps only
+    the top-20 per stratum in EVERY map partition before the exchange
+    (verified by tests/test_plans.py), so the final per-stratum task
+    sees at most partitions*k rows, not the whole stratum."""
     docs = _t(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"

@@ -64,6 +64,14 @@ def test_batch_packing_prefix_sum_is_bucketed(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_stratified_sample_has_window_group_limit(spark):
+    """Top-k per low-cardinality stratum is safe only because Catalyst
+    pushes a WindowGroupLimit below the exchange (each map partition
+    pre-trims to k rows per stratum) — guard that the plan keeps it."""
+    plan = _plan(QUERIES["stratified_sample"](spark, SF_DIR_ORACLE))
+    assert "WindowGroupLimit" in plan
+
+
 def test_broadcast_lookup_joins_are_broadcast(spark):
     """j1: the 5-row dimension must come in via BroadcastHashJoin, never
     a shuffle join."""
