@@ -569,6 +569,67 @@ def x12_common_suffix(spark, sf_dir):
     return pair.mapInPandas(run, schema=_X12_SCHEMA)
 
 
+@_register(
+    "x12_char_suffix",
+    """
+WITH pairs AS (
+  SELECT a.doc_id, a.text AS ta, b.text AS tb
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+),
+mism AS (
+  SELECT doc_id,
+         min(CASE WHEN substr(reverse(ta), i, 1) <> substr(reverse(tb), i, 1)
+                  THEN i END) AS first_diff,
+         least(length(ta), length(tb)) AS maxlen
+  FROM (
+    SELECT doc_id, ta, tb,
+           unnest(generate_series(1, least(length(ta), length(tb)))) AS i
+    FROM pairs
+  )
+  GROUP BY doc_id, least(length(ta), length(tb))
+)
+SELECT doc_id, CAST(coalesce(first_diff - 1, maxlen) AS BIGINT) AS suffix_len
+FROM mism
+""",
+)
+def x12_char_suffix(spark, sf_dir):
+    """X12 oracle-checkable form: char-level shared-suffix length of
+    adjacent documents' texts (the same walk-from-the-end semantics as
+    analyse_depth.py:170-174, on characters instead of token ids so a
+    SQL oracle can reproduce it exactly).  Relational form: explode the
+    reversed-position range, find the first mismatching position, and
+    the suffix is everything before it — per-doc work is O(min length),
+    all JVM expressions."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.reverse(F.col("a.text")).alias("ra"),
+        F.reverse(F.col("b.text")).alias("rb"),
+        F.least(F.length("a.text"), F.length("b.text")).alias("maxlen"),
+    )
+    pos = pairs.select(
+        "doc_id", "maxlen", "ra", "rb",
+        F.explode(F.sequence(F.lit(1), F.col("maxlen"))).alias("i"),
+    )
+    mism = pos.groupBy("doc_id", "maxlen").agg(
+        F.min(
+            F.when(
+                F.substring(F.col("ra"), F.col("i"), 1)
+                != F.substring(F.col("rb"), F.col("i"), 1),
+                F.col("i"),
+            )
+        ).alias("first_diff")
+    )
+    return mism.select(
+        "doc_id",
+        F.coalesce(F.col("first_diff") - 1, F.col("maxlen"))
+        .cast("long")
+        .alias("suffix_len"),
+    )
+
+
 # ===========================================================================
 # UDF-kind coverage (SURVEY.md §2.8): grouped-map + grouped-agg pandas UDFs
 # ===========================================================================
