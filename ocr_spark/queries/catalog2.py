@@ -590,6 +590,12 @@ mism AS (
 )
 SELECT doc_id, CAST(coalesce(first_diff - 1, maxlen) AS BIGINT) AS suffix_len
 FROM mism
+UNION ALL
+-- maxlen=0 pairs (either text empty) have no positions to unnest and
+-- would silently vanish; emit them explicitly with suffix_len 0 so
+-- both engines agree (ADVICE r2: Spark's sequence(1,0) kept them)
+SELECT doc_id, CAST(0 AS BIGINT) AS suffix_len
+FROM pairs WHERE least(length(ta), length(tb)) = 0
 """,
 )
 def x12_char_suffix(spark, sf_dir):
@@ -609,7 +615,12 @@ def x12_char_suffix(spark, sf_dir):
         F.reverse(F.col("b.text")).alias("rb"),
         F.least(F.length("a.text"), F.length("b.text")).alias("maxlen"),
     )
-    pos = pairs.select(
+    # maxlen >= 1 guard: Spark's sequence(1, 0) yields a DESCENDING
+    # [1, 0] (auto step -1), which would keep empty-text pairs alive
+    # with bogus positions while the oracle's generate_series(1, 0)
+    # drops them; split the zero-length pairs out and union them back
+    # with suffix_len 0 in both engines (ADVICE r2).
+    pos = pairs.filter(F.col("maxlen") >= 1).select(
         "doc_id", "maxlen", "ra", "rb",
         F.explode(F.sequence(F.lit(1), F.col("maxlen"))).alias("i"),
     )
@@ -622,12 +633,15 @@ def x12_char_suffix(spark, sf_dir):
             )
         ).alias("first_diff")
     )
+    empty = pairs.filter(F.col("maxlen") == 0).select(
+        "doc_id", F.lit(0).cast("long").alias("suffix_len")
+    )
     return mism.select(
         "doc_id",
         F.coalesce(F.col("first_diff") - 1, F.col("maxlen"))
         .cast("long")
         .alias("suffix_len"),
-    )
+    ).unionByName(empty)
 
 
 # ===========================================================================

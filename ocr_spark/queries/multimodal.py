@@ -62,7 +62,7 @@ _MEDIA_CTE = """
 WITH media AS ({_MEDIA_CTE})
 SELECT media_type,
        count(*) AS n,
-       sum(octet_length(payload)) AS total_bytes,
+       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
        max(width * height) AS max_pixels
 FROM media
 GROUP BY media_type

@@ -14,6 +14,27 @@ from ocr_spark.queries import ORACLES, QUERIES
 from tests.conftest import SF_DIR_ORACLE
 
 
+def _kind(dtype) -> str:
+    """Collapse a pandas dtype to the kind the driver's hasher sees.
+
+    int64 vs float64 MUST be distinct: DuckDB HUGEINT results (any
+    sum() of BIGINT) land in pandas as float64 and fail the driver's
+    value hash against Spark's int64 even when every value is equal —
+    the r2 batch_packing/text_repetition failure mode.  The old
+    ``f"{v:.9g}"`` laundering made 500.0 == 500 locally and masked it.
+    """
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "obj"
+
+
 def _canon(df: pd.DataFrame) -> list[tuple]:
     """Order-insensitive canonical form: sort columns by name, then rows."""
     df = df[sorted(df.columns)]
@@ -41,6 +62,16 @@ def test_query_matches_oracle(name, spark, duck):
     )
     assert len(spark_df) == len(oracle_df), (
         f"{name}: row count {len(spark_df)} vs {len(oracle_df)}"
+    )
+    kind_mismatch = {
+        c: (_kind(spark_df[c].dtype), _kind(oracle_df[c].dtype))
+        for c in spark_df.columns
+        if _kind(spark_df[c].dtype) != _kind(oracle_df[c].dtype)
+    }
+    assert not kind_mismatch, (
+        f"{name}: dtype-kind mismatch (spark vs oracle): {kind_mismatch} — "
+        f"the driver hashes these differently even if values are equal; "
+        f"CAST the oracle (HUGEINT sums!) or the Spark column"
     )
     s, o = _canon(spark_df), _canon(oracle_df)
     mismatches = [(a, b) for a, b in zip(s, o) if a != b]
