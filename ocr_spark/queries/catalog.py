@@ -664,30 +664,99 @@ def w2_seeded_split(spark, sf_dir):
 
 
 # ===========================================================================
-# Non-SQL-expressible kernels (rows-only driver check; byte-level
-# semantics pinned by tests/test_kernels.py and tests/test_pipeline.py)
+# Tokenizer-backed queries with closed-form oracles.  The tokenizer's
+# piece segmentation (_PIECE_RE, kernels/tokenizer.py:62-69) is a
+# char-class tiling, so the COUNT is regex-expressible in DuckDB's RE2:
+# both engines use leftmost-first alternation, RE2's `$`/default `.`
+# match Python's `\Z`/non-newline, and the only divergences (`\d`/`\s`
+# are unicode-wide in Python, ASCII in RE2) cannot fire on the derived
+# corpus (verified count-equal on every sf0.01 turn).  Byte-level id /
+# offset semantics stay pytest-pinned (tests/test_kernels.py).
 # ===========================================================================
+
+#: DuckDB RE2 mirror of kernels.tokenizer._PIECE_RE ('' = escaped quote).
+_PIECE_RE_SQL = (
+    "<pad>|<eos>|<bos>|<unk>|<start_of_turn>|<end_of_turn>"
+    "| ?[A-Za-zÀ-ɏ'']+|[0-9]|\\n| ?[^\\sA-Za-zÀ-ɏ0-9'']+|."
+)
+
+
+def _sql_n_tokens(col: str) -> str:
+    return f"CAST(len(regexp_extract_all({col}, '{_PIECE_RE_SQL}')) AS INTEGER)"
+
+
+_PIPELINE_EXTRACT_SQL = with_transcripts(f"""
+, spans AS (
+  SELECT conv_id, turn_idx, count(*) AS n_spans
+  FROM (
+    SELECT conv_id, turn_idx, text, key,
+           unnest(generate_series(1, length(text))) AS i
+    FROM (
+      SELECT t.conv_id, t.turn_idx, t.text, k.key
+      FROM transcripts t CROSS JOIN (VALUES {{VOCAB}}) k(key)
+    )
+  )
+  WHERE substr(text, CAST(i AS INTEGER), length(key)) = key
+  GROUP BY conv_id, turn_idx
+),
+cls AS (
+  SELECT conv_id, turn_idx, role, text,
+         (role = 'assistant') AS is_asst,
+         regexp_matches(text, ' North| South| East| West') AS has_dir,
+         regexp_matches(text, '(km|ilometers|mi|iles)$') AS has_dist,
+         nullif(regexp_extract(text, '([A-E])', 1), '') AS ans
+  FROM transcripts
+)
+SELECT c.conv_id, c.turn_idx, c.role, c.text AS clean_text,
+       CASE WHEN is_asst AND (has_dir <> has_dist) AND has_dir THEN 'direction'
+            WHEN is_asst AND (has_dir <> has_dist) AND has_dist THEN 'distance'
+            ELSE 'other' END AS block_class,
+       CASE WHEN is_asst THEN ans END AS answer,
+       CASE WHEN is_asst AND NOT (has_dir <> has_dist) AND ans IS NULL
+            THEN 'fallback' ELSE 'ok' END AS status,
+       {_sql_n_tokens('c.text')} AS n_tokens,
+       CAST(coalesce(s.n_spans, 0) AS INTEGER) AS n_spans
+FROM cls c LEFT JOIN spans s ON s.conv_id = c.conv_id AND s.turn_idx = c.turn_idx
+""")
+
 
 @_register("pipeline_extract")
 def pipeline_extract(spark, sf_dir):
     """Full extraction pipeline (X3+X4+X2+X6+X8 composed): per-turn
     clean text, char spans, block class, status, token counts.
-    Rows-only check here; per-turn text equality is pytest-gated."""
+
+    The oracle is CLOSED-FORM over the derived 3-turn transcript shape
+    (every conversation has an assistant turn, so the kernel's
+    comp_exists predicate is identically true): block classification =
+    direction-XOR-distance regexes (train_cities.py:69-95), answer =
+    first A-E char on assistant turns (utils.py:131-147), status
+    mirrors the kernel's fallback rule, n_tokens the piece-count regex,
+    n_spans the same position-scan as the x6_char_spans oracle (all
+    roles).  Spans themselves stay struct-typed Spark-side; the oracle
+    checks their count.  (ORACLES entry filled at import bottom.)"""
     from ocr_spark.pipeline import extract_conversations
 
     t = derived_transcripts(spark, sf_dir)
     ex = extract_conversations(t)
-    # project spans to a stable scalar form for the rows-only check
     return ex.select(
         "conv_id", "turn_idx", "role", "clean_text", "block_class",
         "answer", "status", "n_tokens", F.size("char_spans").alias("n_spans"),
     )
 
 
-@_register("x13_token_count")
+@_register(
+    "x13_token_count",
+    with_transcripts(f"""
+SELECT conv_id, turn_idx, {_sql_n_tokens('text')} AS n_tokens
+FROM transcripts
+"""),
+)
 def x13_token_count(spark, sf_dir):
-    """X13: deterministic tokenizer counts per turn (pandas UDF;
-    no SQL oracle — the tokenizer is engine-internal)."""
+    """X13: deterministic tokenizer counts per turn (pandas UDF over
+    count_pieces_batch; ``len(encode(t)) == len(_PIECE_RE.findall(t))``
+    by construction, tokenizer.py count_tokens).  Oracle: the RE2
+    mirror of _PIECE_RE — see the section comment above for why the
+    counts are bit-equal on this corpus."""
     from ocr_spark.pipeline import token_count_udf
 
     t = derived_transcripts(spark, sf_dir)
@@ -740,6 +809,7 @@ def x6_char_spans(spark, sf_dir):
 
 
 ORACLES["x6_char_spans"] = _X6_SPANS_SQL.replace("{VOCAB}", _vocab_values_sql())
+ORACLES["pipeline_extract"] = _PIPELINE_EXTRACT_SQL.replace("{VOCAB}", _vocab_values_sql())
 
 
 @_register(

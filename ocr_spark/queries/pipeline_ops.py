@@ -572,6 +572,128 @@ def dedup_simhash(spark, sf_dir):
     return bit_sums.select("doc_id", fingerprint.cast("long").alias("simhash"))
 
 
+_SQL_SIMHASH = f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+),
+hw AS (SELECT doc_id, {sql_str_hash('w')} AS h FROM words),
+bits AS (
+  SELECT doc_id, i AS bit,
+         sum(CASE WHEN (h // CAST(power(2, i) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hw CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i)
+  GROUP BY doc_id, i
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s >= 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+"""
+
+#: Max Hamming distance for a simhash near-dup pair.  With 16 bits in
+#: 4 bands of 4, any pair within distance 3 shares at least one intact
+#: band (pigeonhole: 3 differing bits cannot touch all 4 bands), so the
+#: banded candidate join is EXACT for this threshold — recall 1.0, no
+#: all-pairs scan.
+SIMHASH_HAMMING_MAX = 3
+
+@_register(
+    "simhash_hamming_pairs",
+    f"""{_SQL_SIMHASH}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+""",
+)
+def simhash_hamming_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS: the candidate step the fingerprint
+    exists for.  Spark side bands the 16-bit fingerprint into 4
+    nibbles and equi-joins on (band, nibble) — pairs within Hamming
+    distance {SIMHASH_HAMMING_MAX} are guaranteed to collide in >=1
+    band (pigeonhole), so the result is IDENTICAL to the oracle's
+    all-pairs filter while shuffling only O(docs x 4) fingerprint rows
+    (an all-pairs scan at 10^12 docs is impossible; the oracle can
+    afford it at sf0.01).  The exact Hamming check then runs only on
+    band-colliding candidates."""
+    fp = dedup_simhash(spark, sf_dir)
+    nibbles = F.array(
+        *[F.shiftright(F.col("simhash"), 4 * b).bitwiseAND(F.lit(15)) for b in range(4)]
+    )
+    bands = fp.select(
+        "doc_id", "simhash", F.posexplode(nibbles).alias("band", "nibble")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.nibble") == F.col("b.nibble"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+
+
+@_register(
+    "minhash_jaccard_est",
+    f"""
+WITH sigs AS ({_SQL_MINHASH_SIGS}),
+buckets AS (
+  SELECT doc_id, perm // 2 AS band,
+         CAST(max(CASE WHEN perm % 2 = 0 THEN minhash END) AS VARCHAR) || '_' ||
+         CAST(max(CASE WHEN perm % 2 = 1 THEN minhash END) AS VARCHAR) AS bucket
+  FROM sigs GROUP BY doc_id, perm // 2
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE)
+         / {len(MINHASH_PERMS)} AS jaccard_est
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.doc_a
+JOIN sigs sb ON sb.doc_id = p.doc_b AND sb.perm = sa.perm
+GROUP BY p.doc_a, p.doc_b
+""",
+)
+def minhash_jaccard_est(spark, sf_dir):
+    """Jaccard ESTIMATE per LSH candidate pair: the fraction of the 8
+    MinHash permutations on which the two docs' signature values agree
+    — the decision statistic that turns LSH candidates into keep/drop
+    verdicts without re-touching the shingle sets.  Join shape: the
+    candidate-pair table equi-joins the signature table twice on
+    doc_id (+ perm) — both are fingerprint-sized, never corpus-text-
+    sized, and the division by a power of two is exact in binary so
+    the double compares bit-identically across engines."""
+    sigs = _minhash_sigs(spark, sf_dir)
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    joined = (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, (F.col("sb.doc_id") == F.col("doc_b"))
+              & (F.col("sb.perm") == F.col("sa.perm")))
+    )
+    n_match = F.sum(
+        F.when(F.col("sa.minhash") == F.col("sb.minhash"), 1).otherwise(0)
+    )
+    return joined.groupBy("doc_a", "doc_b").agg(
+        n_match.alias("n_match"),
+        (n_match.cast("double") / len(MINHASH_PERMS)).alias("jaccard_est"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # S1/S2: similarity search over embeddings
 # ---------------------------------------------------------------------------
