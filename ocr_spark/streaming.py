@@ -140,10 +140,36 @@ def run_stream(
 
 #: State carried per conversation between micro-batches: the buffered
 #: turns as three parallel primitive arrays (same layout rationale as
-#: pipeline.conversations — cheap through Arrow).
+#: pipeline.conversations — cheap through Arrow) plus the expected turn
+#: count once the end-of-conversation marker has been seen (-1 before).
 _ASSEMBLE_STATE_SCHEMA = (
-    "turn_idxs array<int>, roles array<string>, texts array<string>"
+    "turn_idxs array<int>, roles array<string>, texts array<string>, n_expected int"
 )
+
+#: Role of the explicit end-of-conversation marker row.  The producer
+#: emits one marker per conversation when it closes it, with
+#: ``turn_idx`` = the total number of real turns; the marker is a
+#: control row, never part of the assembled conversation.
+EOC_ROLE = "__eoc__"
+
+
+def with_eoc_markers(df: DataFrame) -> DataFrame:
+    """Append one end-of-conversation marker row per conversation.
+
+    For producers that write drop-files from a complete corpus: the
+    marker carries the conversation's turn count in ``turn_idx``
+    (schema-compatible with the transcript table; text/tool/ts null).
+    """
+    markers = df.groupBy("conv_id").agg(
+        F.count("*").cast("int").alias("turn_idx")
+    ).select(
+        "conv_id", "turn_idx",
+        F.lit(EOC_ROLE).alias("role"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    return df.unionByName(markers)
 
 
 def stream_assemble_extract(stream: DataFrame, vocab=None) -> DataFrame:
@@ -154,15 +180,25 @@ def stream_assemble_extract(stream: DataFrame, vocab=None) -> DataFrame:
     The stateless streaming path (stream_classify) emits per-turn rows
     immediately; this operator provides the conversation-level
     semantics on a stream: turns buffer in the state store keyed by
-    conv_id until the conversation completes — by the corpus's
-    convention, the trailing ``assistant`` turn — then the buffered
-    turns run through the same Arrow kernel driver as the batch
-    pipeline (pipeline._extract_batches) and the state is dropped, so
-    state size is bounded by in-flight (incomplete) conversations
-    only.  A production deployment adds an event-time timeout that
-    flushes stale conversations as ``fallback`` rows; with
-    ``availableNow`` drains the terminal turn always arrives, so the
-    timeout path is deliberately left to deployment.
+    conv_id until the conversation COMPLETES, then the buffered turns
+    run through the same Arrow kernel driver as the batch pipeline
+    (pipeline._extract_batches) and the state is dropped, so state
+    size is bounded by in-flight (incomplete) conversations only.
+
+    Completion is gated on an EXPLICIT terminal signal: the
+    :data:`EOC_ROLE` marker row carrying the expected turn count
+    (``with_eoc_markers`` derives them for batch producers).  The r2
+    heuristic — emit once any buffered turn has role ``assistant`` —
+    fired early on k-turn conversations (multiple assistant turns) and
+    on any conversation whose assistant turn wasn't in the last
+    micro-batch, emitting a premature fragment plus a duplicate-
+    conv_id remainder (ADVICE r2).  With the marker + count, emission
+    happens exactly once, regardless of how turns interleave across
+    micro-batches or how many assistant turns a conversation has.  A
+    production deployment adds an event-time timeout that flushes
+    stale marker-less conversations as ``fallback`` rows; with
+    ``availableNow`` drains the marker always arrives, so the timeout
+    path is deliberately left to deployment.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -174,16 +210,20 @@ def stream_assemble_extract(stream: DataFrame, vocab=None) -> DataFrame:
         import pandas as pd
 
         (conv_id,) = key
-        turn_idxs, roles, texts = (
-            ([*state.get[0]], [*state.get[1]], [*state.get[2]])
+        turn_idxs, roles, texts, n_expected = (
+            ([*state.get[0]], [*state.get[1]], [*state.get[2]], state.get[3])
             if state.exists
-            else ([], [], [])
+            else ([], [], [], -1)
         )
         for pdf in pdfs:
-            turn_idxs.extend(int(i) for i in pdf["turn_idx"])
-            roles.extend(pdf["role"])
-            texts.extend(pdf["text"])
-        if "assistant" in roles:
+            for ti, ro, tx in zip(pdf["turn_idx"], pdf["role"], pdf["text"]):
+                if ro == EOC_ROLE:
+                    n_expected = int(ti)
+                else:
+                    turn_idxs.append(int(ti))
+                    roles.append(ro)
+                    texts.append(tx)
+        if n_expected >= 0 and len(turn_idxs) >= n_expected:
             state.remove()
             order = sorted(range(len(turn_idxs)), key=lambda i: turn_idxs[i])
             conv = pd.DataFrame(
@@ -196,7 +236,7 @@ def stream_assemble_extract(stream: DataFrame, vocab=None) -> DataFrame:
             )
             yield from _extract_batches(iter([conv]), vocab)
         else:
-            state.update((turn_idxs, roles, texts))
+            state.update((turn_idxs, roles, texts, n_expected))
             return
 
     return (

@@ -31,6 +31,13 @@ def _turns(conv_id: str, variant: int) -> list[dict]:
     ]
 
 
+def _eoc(conv_id: str, n_turns: int) -> dict:
+    from ocr_spark.streaming import EOC_ROLE
+
+    return {"conv_id": conv_id, "turn_idx": n_turns, "role": EOC_ROLE,
+            "text": None, "tool": None, "ts": None}
+
+
 @pytest.fixture()
 def dirs(tmp_path):
     inp = tmp_path / "in"
@@ -119,11 +126,15 @@ def test_stateful_assembly_across_microbatches(spark, dirs):
             {"conv_id": f"s{i:03d}", "turn_idx": 2, "role": "assistant", "text": a,
              "tool": None, "ts": "2024-01-01T00:00:02"},
         ])
-    # file a: system+user turns only; file b: the terminal assistant turns
+    # file a: system+user turns only; file b: the terminal assistant
+    # turns; file c: the end-of-conversation markers (turn_idx = turn
+    # count) — completion crosses TWO state-store boundaries
     _write_jsonl(os.path.join(inp, "a_prefix.jsonl"),
                  [t for conv in rows for t in conv[:2]])
     _write_jsonl(os.path.join(inp, "b_final.jsonl"),
                  [t for conv in rows for t in conv[2:]])
+    _write_jsonl(os.path.join(inp, "c_markers.jsonl"),
+                 [_eoc(conv[0]["conv_id"], len(conv)) for conv in rows])
 
     run_assemble_stream(spark, inp, out, max_files=1)
 
@@ -150,6 +161,95 @@ def test_stateful_assembly_across_microbatches(spark, dirs):
     )
     assert got == want
     assert len(got) == 3 * n
+
+
+def test_stateful_assembly_multi_assistant_no_premature_emit(spark, dirs):
+    """ADVICE r2 regression: a k-turn conversation with MULTIPLE
+    assistant turns, whose first assistant turn arrives in an early
+    micro-batch, must NOT be emitted prematurely (the old heuristic
+    completed on any buffered assistant turn, producing a fragment
+    plus a duplicate-conv_id remainder).  Completion now waits for the
+    end-of-conversation marker + full turn count."""
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from ocr_spark.pipeline import extract_conversations
+    from ocr_spark.streaming import run_assemble_stream
+
+    inp, out = dirs
+    n = 12
+    rows = []
+    for i in range(n):
+        rows.append([
+            {"conv_id": f"k{i:03d}", "turn_idx": 0, "role": "system",
+             "text": "You are a geography assistant.", "tool": None,
+             "ts": "2024-01-01T00:00:00"},
+            {"conv_id": f"k{i:03d}", "turn_idx": 1, "role": "user",
+             "text": f"From City 50337 to Akureyri, how far? ({i})", "tool": None,
+             "ts": "2024-01-01T00:00:01"},
+            {"conv_id": f"k{i:03d}", "turn_idx": 2, "role": "assistant",
+             "text": "4200 km", "tool": None, "ts": "2024-01-01T00:00:02"},
+            {"conv_id": f"k{i:03d}", "turn_idx": 3, "role": "user",
+             "text": "And the direction?", "tool": None,
+             "ts": "2024-01-01T00:00:03"},
+            {"conv_id": f"k{i:03d}", "turn_idx": 4, "role": "assistant",
+             "text": "Akureyri is North of City 50337.", "tool": None,
+             "ts": "2024-01-01T00:00:04"},
+        ])
+    # first assistant turn lands in micro-batch 1 of 3: the old
+    # any-assistant heuristic would emit a 3-turn fragment here
+    _write_jsonl(os.path.join(inp, "a.jsonl"),
+                 [t for conv in rows for t in conv[:3]])
+    _write_jsonl(os.path.join(inp, "b.jsonl"),
+                 [t for conv in rows for t in conv[3:]])
+    _write_jsonl(os.path.join(inp, "c.jsonl"),
+                 [_eoc(conv[0]["conv_id"], len(conv)) for conv in rows])
+
+    run_assemble_stream(spark, inp, out, max_files=1)
+
+    data = spark.read.parquet(os.path.join(out, "data"))
+    # exactly one row per (conv, turn): no premature fragment, no dup
+    assert data.count() == 5 * n
+    dup = (data.groupBy("conv_id", "turn_idx").count()
+           .filter(F.col("count") > 1).count())
+    assert dup == 0
+
+    schema = StructType([
+        StructField("conv_id", StringType()), StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()), StructField("text", StringType()),
+        StructField("tool", StringType()), StructField("ts", TimestampType()),
+    ])
+    batch_in = spark.createDataFrame(
+        [(t["conv_id"], t["turn_idx"], t["role"], t["text"], None, None)
+         for conv in rows for t in conv],
+        schema,
+    )
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["role"], r["clean_text"],
+         r["block_class"], r["answer"], r["status"])
+        for r in data.collect()
+    )
+    want = sorted(
+        (r["conv_id"], r["turn_idx"], r["role"], r["clean_text"],
+         r["block_class"], r["answer"], r["status"])
+        for r in extract_conversations(batch_in).collect()
+    )
+    assert got == want
+
+
+def test_with_eoc_markers_counts(spark):
+    """with_eoc_markers appends one marker per conversation with
+    turn_idx = turn count, schema-compatible with the transcript table."""
+    from ocr_spark.streaming import EOC_ROLE, with_eoc_markers
+    from ocr_spark.synth import transcripts
+
+    t = transcripts(spark, 20, skew=False)
+    marked = with_eoc_markers(t)
+    assert marked.schema == t.schema
+    m = marked.filter(F.col("role") == EOC_ROLE)
+    assert m.count() == 20
+    assert {r["turn_idx"] for r in m.collect()} == {3}
 
 
 def test_windowed_aggregation_with_watermark(spark, dirs, tmp_path):
