@@ -246,11 +246,35 @@ def _cls_lut():
     return _CLS_LUT
 
 
+#: Reusable per-process scratch buffers for count_pieces_batch.  On
+#: the bench VM, FIRST-TOUCH page faults on fresh large allocations run
+#: ~20x slower than warm passes (measured: 52 MB bool compare 13 ms
+#: warm vs 1.2 s cold; int64 cumsum 0.27 s warm vs 3.6 s cold), so the
+#: kernel's per-Arrow-batch temporaries dominated the whole extraction
+#: profile.  Buffers grow geometrically and are reused across batches
+#: within a task/worker process; ~2 bytes per joined char resident.
+_SCRATCH: dict = {}
+
+
+def _scratch(name: str, n: int, dtype):
+    import numpy as np
+
+    buf = _SCRATCH.get(name)
+    if buf is None or len(buf) < n:
+        buf = np.empty(max(int(n * 5 // 4), 1 << 16), dtype=dtype)
+        _SCRATCH[name] = buf
+    return buf[:n]
+
+
 def count_pieces_batch(texts) -> "list":
     """Per-row ``count_tokens`` over an iterable of strings, numpy-fast.
 
-    Exactly ``len(_PIECE_RE.findall(t))`` per row; ~6x cheaper than
-    running the regex.  None counts as 0 (mirrors the UDF contract).
+    Exactly ``len(_PIECE_RE.findall(t))`` per row; None counts as 0
+    (mirrors the UDF contract).  Per-row totals come from ONE
+    ``np.add.reduceat`` over the start-flag array — no int64 prefix-sum
+    materialization (8x the char count in bytes; see _SCRATCH note) —
+    with the inter-row ``'\\n'`` separators (always a piece start)
+    subtracted from every row but the last.
     """
     import numpy as np
 
@@ -274,21 +298,30 @@ def count_pieces_batch(texts) -> "list":
         for i, t in zip(fast_idx, fast_texts):
             out[i] = len(_PIECE_RE.findall(t))
         return out
-    cls = _cls_lut()[cps]
-    prev = np.empty_like(cls)
-    prev[0] = _CLS_N  # virtual separator: first char starts a piece
-    prev[1:] = cls[:-1]
+    m = len(cps)
+    cls = _scratch("cls", m, np.uint8)
+    np.take(_cls_lut(), cps, out=cls)
+    # starts = (cls < L) | ((prev != cls) & (prev != S)), prev being the
+    # previous char's class with a virtual '\n' before position 0:
     # S/D/N/W (classes < L) always start a piece; a run class (L/P)
     # starts one iff its predecessor is neither the same class (run
-    # continuation) nor a space (the regex's ` ?` absorption).
-    starts = (cls < _CLS_L) | ((prev != cls) & (prev != _CLS_S))
-    # per-row totals without a weighted bincount: prefix-sum the start
-    # flags once, then difference at each row's [begin, begin+len) span
-    # (the '\n' separators sit between spans and drop out naturally)
-    cs = np.concatenate((np.zeros(1, dtype=np.int64), np.cumsum(starts, dtype=np.int64)))
+    # continuation) nor a space (the regex's ` ?` absorption).  All
+    # element-wise ops write into reused scratch, no fresh allocations.
+    starts = _scratch("starts", m, np.bool_)
+    tmp = _scratch("tmp", m, np.bool_)
+    starts[0] = True
+    np.not_equal(cls[1:], cls[:-1], out=starts[1:])   # prev != cls
+    tmp[0] = True
+    np.not_equal(cls[:-1], _CLS_S, out=tmp[1:])       # prev != S
+    np.logical_and(starts, tmp, out=starts)
+    np.less(cls, _CLS_L, out=tmp)                     # cls < L
+    np.logical_or(starts, tmp, out=starts)
     lens = np.fromiter((len(t) for t in fast_texts), dtype=np.int64, count=len(fast_texts))
-    begins = np.concatenate((np.zeros(1, dtype=np.int64), np.cumsum(lens + 1)))[:-1]
-    counts = cs[begins + lens] - cs[begins]
+    begins = np.empty(len(lens), dtype=np.int64)
+    begins[0] = 0
+    np.cumsum(lens[:-1] + 1, out=begins[1:])
+    counts = np.add.reduceat(starts, begins, dtype=np.int64)
+    counts[:-1] -= 1  # every segment but the last includes its '\n' separator
     out[np.asarray(fast_idx, dtype=np.int64)] = counts
     return out
 

@@ -174,54 +174,70 @@ def _extract_batches(
 
         conv_rep = np.repeat(pdf["conv_id"].to_numpy(), lens)
         tidx = np.concatenate([np.asarray(a, dtype=np.int64) for a in pdf["turn_idxs"]])
-        roles = pd.Series(
-            [r for rs in pdf["roles"] for r in rs], dtype=object)
-        texts = pd.Series(
-            [t for ts in pdf["texts"] for t in ts], dtype=object)
+        # Arrow hands list columns over as object arrays of ndarrays —
+        # one np.concatenate is pointer copies in C, vs a Python-level
+        # loop touching every turn
+        roles = pd.Series(np.concatenate(pdf["roles"].to_numpy()), dtype=object)
+        texts = pd.Series(np.concatenate(pdf["texts"].to_numpy()), dtype=object)
+        tex_np = texts.to_numpy()
+        is_assistant = roles.eq("assistant").to_numpy()
 
         # X3/X4 equivalence without materializing the render: the gemma
         # render contains the model marker iff the conversation has an
         # assistant turn or a payload itself contains the marker, so
         # split_completion succeeds exactly when this predicate holds
         # (the render/split kernels stay byte-pinned by their own
-        # golden tests and the x3/x4 catalog queries).
-        comp_exists = np.repeat(
-            np.fromiter(
-                (
-                    any(r == "assistant" for r in rs)
-                    or any(_MODEL_MARKER in t for t in ts)
-                    for rs, ts in zip(pdf["roles"], pdf["texts"])
-                ),
-                dtype=bool, count=len(pdf),
-            ),
-            lens,
-        )
+        # golden tests and the x3/x4 catalog queries).  Per-conv any()
+        # via reduceat over the flat arrays; the payload-marker scan
+        # runs only on conversations with no assistant turn at all.
+        if (lens > 0).all():
+            begins = np.empty(len(lens), dtype=np.int64)
+            begins[0] = 0
+            np.cumsum(lens[:-1], out=begins[1:])
+            conv_has = np.bitwise_or.reduceat(is_assistant, begins)
+        else:  # zero-turn groups would corrupt reduceat segment bounds
+            conv_has = np.zeros(len(lens), dtype=bool)
+            pos = 0
+            for ci, ln in enumerate(lens):
+                if ln:
+                    conv_has[ci] = bool(is_assistant[pos:pos + ln].any())
+                pos += ln
+        for ci in np.nonzero(~conv_has)[0]:
+            conv_has[ci] = any(_MODEL_MARKER in t for t in pdf["texts"].iat[ci])
+        comp_exists = np.repeat(conv_has, lens)
 
-        is_assistant = roles.eq("assistant").to_numpy()
         active = is_assistant & comp_exists
-        has_dir = texts.str.contains(_DIR_RE, regex=True).to_numpy()
-        has_dist = texts.str.contains(_DIST_RE, regex=True).to_numpy()
+        # classification/extraction regexes run on the assistant subset
+        # only (they are masked to it anyway); scatter results back
+        asst_idx = np.nonzero(is_assistant)[0]
+        at = texts.iloc[asst_idx]
+        has_dir = np.zeros(n, dtype=bool)
+        has_dir[asst_idx] = at.str.contains(_DIR_RE, regex=True).to_numpy()
+        has_dist = np.zeros(n, dtype=bool)
+        has_dist[asst_idx] = at.str.contains(_DIST_RE, regex=True).to_numpy()
         xor = has_dir ^ has_dist
 
         block_class = np.where(
             active & xor & has_dir, "direction",
             np.where(active & xor & has_dist, "distance", "other"),
         )
-        ans = texts.str.extract(_ANSWER_RE, expand=False)
-        ans_obj = ans.astype(object).where(ans.notna(), None).to_numpy()
-        answer = np.where(active, ans_obj, None)
-        no_answer = np.fromiter((a is None for a in answer), dtype=bool, count=n)
+        ans = at.str.extract(_ANSWER_RE, expand=False)
+        answer = np.full(n, None, dtype=object)
+        answer[asst_idx] = ans.astype(object).where(ans.notna(), None).to_numpy()
+        no_answer = np.full(n, True, dtype=bool)
+        no_answer[asst_idx] = ans.isna().to_numpy()
+        answer = np.where(active, answer, None)
+        no_answer |= ~active
         status = np.where(
             is_assistant & (~comp_exists | (~xor & no_answer)), "fallback", "ok"
         )
-        n_tokens = np.asarray(count_pieces_batch(texts.to_numpy())).astype("int32")
+        n_tokens = np.asarray(count_pieces_batch(tex_np)).astype("int32")
 
         # spans: vocab-order-then-occurrence-order per turn.  ONE
         # combined-alternation scan pre-filters the rows (instead of
         # one pass per vocab key); only hit rows pay the per-key
         # find_spans Python.
         spans: list = [[] for _ in range(n)]
-        tex_np = texts.to_numpy()
         hit = texts.str.contains(vocab_re).to_numpy()
         for i in np.nonzero(hit)[0]:
             t = tex_np[i]
