@@ -68,15 +68,40 @@ def _noop(df) -> None:
 # throughput worker (runs in a fresh subprocess per parallelism level)
 # ---------------------------------------------------------------------------
 
+def membw_canary(mb: int = 256, reps: int = 3) -> float:
+    """Best-case copy bandwidth (GB/s, read+write) of this process.
+
+    A trivial DRAM canary: the extraction job on this shared host is
+    memory-bandwidth-sensitive, and round-over-round bench swings have
+    fingerprinted as bus contention rather than code regressions
+    (BENCH.md).  Reporting the canary next to every throughput number
+    lets the driver distinguish a contended run from a real slowdown.
+    """
+    import numpy as np
+
+    a = np.ones(mb * 1024 * 1024 // 8, dtype=np.float64)
+    b = np.empty_like(a)
+    np.copyto(b, a)  # pay first-touch outside the timed reps
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.copyto(b, a)
+        best = min(best, time.perf_counter() - t0)
+    return round(2 * mb / 1024 / best, 2)
+
+
 def run_throughput(cpus: int, data_dir: str) -> dict:
     """Run the extraction job on ``data_dir`` at ``local[cpus]``.
 
     Returns {"cpus", "turns", "elapsed_sec", "turns_per_sec",
-    "native_elapsed_sec", "native_turns_per_sec"}.
+    "native_elapsed_sec", "native_turns_per_sec", "render_pass_secs",
+    "native_pass_secs", "membw_gbps_before", "membw_gbps_after"}.
     """
     from ocr_spark.deploy import ensure_shipped
     from ocr_spark.pipeline import classify_turns, extract_conversations
     from ocr_spark.session import get_spark
+
+    membw_before = membw_canary()
 
     # 8x cores shuffle partitions: measured 1.5x faster than 4x on the
     # extraction shuffle (smaller sorter runs, better reduce packing).
@@ -92,27 +117,28 @@ def run_throughput(cpus: int, data_dir: str) -> dict:
     # Warmup = one full pass: pays the one-time JVM JIT, shuffle-file
     # allocation, and Python worker fork/import cost outside the
     # measured window (on a long-lived cluster job these amortize to
-    # zero; measured cold/warm gap is ~2x).  Then two measured passes,
-    # best-of (standard min-time practice: the steady-state estimate
-    # least polluted by scheduler/GC noise, applied identically at
-    # both parallelism levels).
+    # zero; measured cold/warm gap is ~2x).  Then best-of-4 measured
+    # passes BOTH paths (min-time practice: the steady-state estimate
+    # least polluted by scheduler/GC/bus noise, applied identically at
+    # every parallelism level); the per-pass times go into the JSON so
+    # a contended run — one slow outlier pass vs uniformly slow passes
+    # — is visible to the driver, not just to BENCH.md prose.
     _noop(extract_conversations(df))
     _noop(classify_turns(df))
 
-    elapsed = float("inf")
-    for _ in range(2):
+    render_passes = []
+    for _ in range(4):
         t0 = time.time()
         _noop(extract_conversations(df))
-        elapsed = min(elapsed, time.time() - t0)
+        render_passes.append(round(time.time() - t0, 3))
+    elapsed = min(render_passes)
 
-    # The native passes are sub-second at high core counts, so a single
-    # slow pass dominates a best-of-2; 4 passes keeps the min estimate
-    # stable for a few extra seconds of wall time.
-    native_elapsed = float("inf")
+    native_passes = []
     for _ in range(4):
         t0 = time.time()
         _noop(classify_turns(df))
-        native_elapsed = min(native_elapsed, time.time() - t0)
+        native_passes.append(round(time.time() - t0, 3))
+    native_elapsed = min(native_passes)
 
     spark.stop()
     return {
@@ -122,6 +148,10 @@ def run_throughput(cpus: int, data_dir: str) -> dict:
         "turns_per_sec": round(n_turns / elapsed, 1),
         "native_elapsed_sec": round(native_elapsed, 3),
         "native_turns_per_sec": round(n_turns / native_elapsed, 1),
+        "render_pass_secs": render_passes,
+        "native_pass_secs": native_passes,
+        "membw_gbps_before": membw_before,
+        "membw_gbps_after": membw_canary(),
     }
 
 

@@ -17,7 +17,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ocr_spark.queries.catalog import _register, _t
+from ocr_spark.queries.catalog import _PIECE_RE_SQL, _register, _t
 from ocr_spark.queries.derive import derived_transcripts, with_transcripts
 
 # ===========================================================================
@@ -386,11 +386,45 @@ _X5_SCHEMA = StructType(
 )
 
 
-@_register("x5_token_split")  # tokenizer-dependent: rows-only driver check,
-def x5_token_split(spark, sf_dir):  # exact goldens live in tests/test_kernels.py
+#: X5 oracle (round 3): the split INDEX is piece-count arithmetic —
+#: the 2nd <start_of_turn>'s token index equals the piece count of the
+#: render prefix (prefix ends with '\n', a self-contained piece, so
+#: counts compose across the concat boundary), and build_labels masks
+#: split_idx + trailing 2, so n_predictable = n_tokens - split_idx - 2.
+#: Verified equal to the Python kernel on every sf0.01 conversation.
+_X5_SQL = with_transcripts(f"""
+, p AS (
+  SELECT conv_id,
+         max(CASE WHEN role='user' THEN text END) AS u,
+         max(CASE WHEN role='assistant' THEN text END) AS a
+  FROM transcripts GROUP BY conv_id
+),
+r AS (
+  SELECT conv_id, a,
+         '<bos><start_of_turn>user' || chr(10) || u || '<end_of_turn>' || chr(10) AS prefix
+  FROM p
+),
+c AS (
+  SELECT conv_id,
+         CAST(len(regexp_extract_all(prefix || '<start_of_turn>model' || chr(10)
+                                     || a || '<end_of_turn>' || chr(10),
+                                     '{_PIECE_RE_SQL}')) AS INTEGER) AS n_tokens,
+         CAST(len(regexp_extract_all(prefix, '{_PIECE_RE_SQL}')) + 3 AS INTEGER) AS split_idx
+  FROM r
+)
+SELECT conv_id, n_tokens, split_idx,
+       CAST(n_tokens - split_idx - 2 AS INTEGER) AS n_predictable
+FROM c
+""")
+
+
+@_register("x5_token_split", _X5_SQL)
+def x5_token_split(spark, sf_dir):
     """X5: token-level split at the 2nd <start_of_turn> marker + label
     masking (train_functions_steering.py:65-69, train_lee.py:44-49),
-    via the deterministic tokenizer in an Arrow-batched pandas UDF."""
+    via the deterministic tokenizer in an Arrow-batched pandas UDF.
+    Oracle: piece-count arithmetic over the rendered string (see
+    _X5_SQL note); exact token-id goldens live in tests/test_kernels.py."""
     from ocr_spark.kernels import DeterministicTokenizer, render_chat_template
     from ocr_spark.kernels.tokenizer import build_labels, split_idx_second_marker
 
@@ -540,11 +574,39 @@ _X12_SCHEMA = StructType(
 )
 
 
-@_register("x12_common_suffix")  # token-level pair op: rows-only check
+#: X12 token-level oracle (round 3): compare the REVERSED piece arrays
+#: elementwise and take the first mismatch position.  The Spark kernel
+#: compares blake2b-folded piece IDS; distinct pieces colliding to one
+#: id would lengthen its suffix vs this piece-string oracle — verified
+#: collision-free on the sf0.01 corpus (and deterministic: same data,
+#: same hash, forever).
+_X12_TOKEN_SQL = with_transcripts(f"""
+, p AS (
+  SELECT conv_id,
+         max(CASE WHEN role='user' THEN text END) AS u,
+         max(CASE WHEN role='assistant' THEN text END) AS a
+  FROM transcripts GROUP BY conv_id
+),
+pcs AS (
+  SELECT conv_id,
+         list_reverse(regexp_extract_all(u, '{_PIECE_RE_SQL}')) AS ra,
+         list_reverse(regexp_extract_all(a, '{_PIECE_RE_SQL}')) AS rb
+  FROM p
+)
+SELECT conv_id,
+       CAST(coalesce(list_min([i FOR i IN generate_series(1, least(len(ra), len(rb)))
+                               IF list_extract(ra, i) IS DISTINCT FROM list_extract(rb, i)]),
+                     least(len(ra), len(rb)) + 1) - 1 AS INTEGER) AS suffix_len
+FROM pcs
+""")
+
+
+@_register("x12_common_suffix", _X12_TOKEN_SQL)
 def x12_common_suffix(spark, sf_dir):
     """X12: shared-suffix length of two token sequences
     (analyse_depth.py:170-174) — each user text vs its assistant reply,
-    token-aligned via the deterministic tokenizer in a pandas UDF."""
+    token-aligned via the deterministic tokenizer in a pandas UDF.
+    Oracle: reversed piece-array first-mismatch (see _X12_TOKEN_SQL)."""
     from ocr_spark.kernels import DeterministicTokenizer, common_suffix_len
 
     t = derived_transcripts(spark, sf_dir)
