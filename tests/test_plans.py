@@ -91,6 +91,35 @@ def test_native_path_has_no_exchange_or_python(spark):
     assert "Python" not in plan and "MapInPandas" not in plan
 
 
+def test_simhash_is_one_aggregation_no_crossjoin(spark):
+    """dedup_simhash (round 3): the 16 bit votes are conditional
+    aggregates in ONE groupBy(doc_id) — the words x bits crossJoin of
+    round 2 pushed 16x the word rows through the shuffle.  Guard that
+    no cross/nested-loop join reappears and the shuffle count stays at
+    the two the algorithm needs (distinct words, per-doc agg)."""
+    plan = _plan(QUERIES["dedup_simhash"](spark, SF_DIR_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_simhash_hamming_pairs_is_banded_equi_join(spark):
+    """simhash_hamming_pairs: the candidate join must be an equi-join
+    on (band, nibble) — an all-pairs cross join is the oracle's
+    privilege, never the engine's."""
+    plan = _plan(QUERIES["simhash_hamming_pairs"](spark, SF_DIR_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_jaccard_est_joins_are_equi(spark):
+    """minhash_jaccard_est: candidate pairs equi-join the signature
+    table on doc ids — fingerprint-sized sides, equi predicates only."""
+    plan = _plan(QUERIES["minhash_jaccard_est"](spark, SF_DIR_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_scan_prunes_columns(spark):
     """Column pruning reaches the parquet scan: a 2-column projection
     must not read the whole documents schema."""
