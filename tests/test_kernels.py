@@ -396,3 +396,32 @@ class TestProperties:
 
         want = [len(_PIECE_RE.findall(t)) for t in texts]
         assert list(count_pieces_batch(texts)) == want
+
+    def test_count_pieces_batch_reduceat_edges(self):
+        """Deterministic traps for the round-3 reduceat rewrite: a row
+        with >127 pieces (an int8 accumulator would overflow), rows
+        routed to the regex fallback ('<', astral) interleaved with
+        fast rows, None/empty rows at every position, a single-row
+        batch (no separator to subtract), and repeated calls through
+        the shared scratch buffers (a stale-buffer bug would leak
+        counts between batches)."""
+        from ocr_spark.kernels.tokenizer import _PIECE_RE, count_pieces_batch
+
+        long_row = "word " * 300          # 600 pieces > int8 range
+        cases = [
+            [long_row],
+            ["a b", None, "", "x<eos>y", "\U0001F600 hi", long_row, "tail"],
+            ["solo"],
+            [None],
+            [],
+        ]
+        for texts in cases:
+            want = [0 if t is None else len(_PIECE_RE.findall(t)) for t in texts]
+            assert list(count_pieces_batch(texts)) == want
+        # scratch reuse: a big batch then a small one (buffer larger
+        # than needed) then the big one again — counts must be stable
+        big = ["alpha beta 12, gamma!"] * 500
+        small = ["x y"]
+        first = list(count_pieces_batch(big))
+        assert list(count_pieces_batch(small)) == [len(_PIECE_RE.findall("x y"))]
+        assert list(count_pieces_batch(big)) == first

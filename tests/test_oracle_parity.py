@@ -82,3 +82,34 @@ def test_all_queries_have_entries():
     """Every oracle key must have a query; queries without oracles are
     allowed (rows-only checks) but should be a minority."""
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_grams_guard_drops_short_docs_both_engines(spark, tmp_path):
+    """ADVICE r2 regression: docs with <3 words must neither crash
+    Spark (sequence(1,0) descends to [1,0] and slice(words,0,3)
+    throws) nor diverge from the oracle (empty generate_series drops
+    them silently) — both engines drop them identically."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(1, "en", ""), (2, "en", "one"), (3, "en", "two words"),
+         (4, "en", "three word text"), (5, "en", "a b c d repeated a b c d")],
+        "doc_id long, lang string, text string",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = QUERIES["text_repetition"](spark, str(tmp_path)).toPandas()
+    assert set(out["doc_id"]) == {4, 5}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = con.execute(ORACLES["text_repetition"]).df()
+    assert set(oracle["doc_id"]) == {4, 5}
+    con.close()
+
+    # the shared shingle path (dedup) must tolerate the same inputs
+    sigs = QUERIES["dedup_minhash_signatures"](spark, str(tmp_path)).toPandas()
+    assert set(sigs["doc_id"]) == {4, 5}
