@@ -53,9 +53,7 @@ _DRIVER_PRIORITY = [
     "dedup_simhash", "ann_lsh_bucketed", "embedding_neardup",
     "dedup_clusters", "dedup_ngram_jaccard", "dedup_minhash_lsh_pairs",
     # -- 6: new in round 3 ------------------------------------------------
-    "simhash_hamming_pairs", "minhash_jaccard_est",
-    # -- 7: continuity anchor ---------------------------------------------
-    "p1_turn_merge",
+    "simhash_hamming_pairs", "minhash_jaccard_est", "dedup_clusters_star",
 ]
 
 

@@ -415,6 +415,118 @@ def dedup_clusters(spark, sf_dir):
     return labels.unionByName(singletons)
 
 
+def connected_components_star(
+    edges: DataFrame, max_rounds: int = 24
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — O(log n) rounds in the component DIAMETER-independent
+    sense, vs the min-label loop's O(diameter) rounds.  This is the
+    100 TB path for the pathological case the plain loop handles
+    poorly: a long chain of pairwise near-dups (diameter ~ corpus
+    size) converges here in a handful of rounds.
+
+    ``edges``: two columns ``(s, d)`` — undirected edges in either or
+    both orientations; self-loops ignored.  Returns ``(doc_id,
+    cluster_id)`` for every node APPEARING IN EDGES, cluster_id = the
+    component's minimum id (identical to the min-label fixpoint and to
+    the recursive-CTE oracle).
+
+    Per round: large-star hangs every larger neighbor off its
+    neighborhood minimum, small-star re-hangs the not-larger ones; both
+    are one groupBy + one broadcast-free equi-join over the edge set,
+    localCheckpoint-ed so plan lineage stays flat.  Convergence
+    certificate: the edge multiset is a fixpoint when (count,
+    sum(s), sum(d)) is stable round-over-round (edges only ever move
+    toward smaller minima, so the sum decreases monotonically until
+    the fixpoint); on the fixpoint every node's edges point at its
+    component min."""
+    e = (
+        edges.select(F.col("s").cast("long"), F.col("d").cast("long"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.unionAll(df.select(F.col("d").alias("s"), F.col("s").alias("d")))
+
+    def _cert(df: DataFrame):
+        # multiset fingerprint: count + decimal sum of a bounded row
+        # hash (raw 64-bit sums overflow long under ANSI mode); a
+        # changed edge set colliding on both is vanishingly unlikely
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.pmod(F.xxhash64("s", "d"), F.lit(2**31)).cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _star(df: DataFrame, large: bool) -> DataFrame:
+        sym = _sym(df)
+        m = sym.groupBy("s").agg(
+            F.least(F.min("d"), F.col("s")).alias("m")
+        )
+        joined = sym.join(m, "s")
+        if large:
+            # hang strictly-larger neighbors off the neighborhood min
+            out = joined.filter(F.col("d") > F.col("s")).select(
+                F.col("d").alias("s"), F.col("m").alias("d"))
+        else:
+            # re-hang the center and its not-larger neighbors
+            out = joined.filter(F.col("d") <= F.col("s")).select(
+                F.col("d").alias("s"), F.col("m").alias("d"))
+            out = out.unionAll(m.select(F.col("s"), F.col("m").alias("d")))
+        return (
+            out.filter(F.col("s") != F.col("d"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    prev = _cert(e)
+    converged = False
+    for _ in range(max_rounds):
+        e = _star(_star(e, large=True), large=False)
+        cur = _cert(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint within {max_rounds} "
+            f"round pairs; refusing to return unconverged labels"
+        )
+    sym = _sym(e)
+    return sym.groupBy("s").agg(
+        F.least(F.min("d"), F.col("s")).alias("cluster_id")
+    ).select(F.col("s").alias("doc_id"), "cluster_id")
+
+
+@_register("dedup_clusters_star")
+def dedup_clusters_star(spark, sf_dir):
+    """Near-dup cluster assignment via star contraction (see
+    :func:`connected_components_star`) — the O(log n)-rounds scale
+    variant of ``dedup_clusters``; byte-identical labels (both compute
+    the component-min fixpoint, pinned by the shared oracle and
+    ``tests/test_graph.py``).  Singletons join back by anti-join, as
+    in the min-label variant."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+    labels = connected_components_star(edges)
+    singletons = docs.join(
+        labels.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("cluster_id"))
+    return labels.unionByName(singletons)
+
+
+# star contraction computes the identical component-min fixpoint, so it
+# shares dedup_clusters' recursive-CTE oracle verbatim
+ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
+
+
 @_register(
     "batch_packing",
     """
