@@ -172,7 +172,9 @@ def with_eoc_markers(df: DataFrame) -> DataFrame:
     return df.unionByName(markers)
 
 
-def stream_assemble_extract(stream: DataFrame, vocab=None) -> DataFrame:
+def stream_assemble_extract(
+    stream: DataFrame, vocab=None, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Custom stateful operator: assemble conversations ACROSS
     micro-batches, then run the full render-path extraction per
     completed conversation (``applyInPandasWithState``).
@@ -194,11 +196,22 @@ def stream_assemble_extract(stream: DataFrame, vocab=None) -> DataFrame:
     micro-batch, emitting a premature fragment plus a duplicate-
     conv_id remainder (ADVICE r2).  With the marker + count, emission
     happens exactly once, regardless of how turns interleave across
-    micro-batches or how many assistant turns a conversation has.  A
-    production deployment adds an event-time timeout that flushes
-    stale marker-less conversations as ``fallback`` rows; with
-    ``availableNow`` drains the marker always arrives, so the timeout
-    path is deliberately left to deployment.
+    micro-batches or how many assistant turns a conversation has.
+
+    ``idle_timeout_ms`` (optional) arms a processing-time timeout per
+    conversation: a conversation that receives no new turns for that
+    long — a producer crashed before emitting its marker — is flushed
+    through the same kernel path (its rows carry the kernel's normal
+    per-turn semantics: a flush with no assistant turn classifies as
+    ``fallback``) instead of pinning the state store forever.
+    CAVEAT: use it with a continuous micro-batch trigger
+    (``processingTime``) — timeouts are evaluated per micro-batch, and
+    a ``Trigger.AvailableNow`` drain combined with pending
+    processing-time timeouts keeps scheduling batches without ever
+    firing them (observed on Spark 4.1: the drain never terminates),
+    which is why :func:`run_assemble_stream` does not expose the
+    option.  Without it, marker-less conversations simply stay
+    buffered.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -210,6 +223,25 @@ def stream_assemble_extract(stream: DataFrame, vocab=None) -> DataFrame:
         import pandas as pd
 
         (conv_id,) = key
+
+        def flush(turn_idxs, roles, texts):
+            order = sorted(range(len(turn_idxs)), key=lambda i: turn_idxs[i])
+            conv = pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "turn_idxs": [[turn_idxs[i] for i in order]],
+                    "roles": [[roles[i] for i in order]],
+                    "texts": [[texts[i] for i in order]],
+                }
+            )
+            yield from _extract_batches(iter([conv]), vocab)
+
+        if state.hasTimedOut:
+            turn_idxs, roles, texts, _ = state.get
+            state.remove()
+            yield from flush(list(turn_idxs), list(roles), list(texts))
+            return
+
         turn_idxs, roles, texts, n_expected = (
             ([*state.get[0]], [*state.get[1]], [*state.get[2]], state.get[3])
             if state.exists
@@ -225,18 +257,11 @@ def stream_assemble_extract(stream: DataFrame, vocab=None) -> DataFrame:
                     texts.append(tx)
         if n_expected >= 0 and len(turn_idxs) >= n_expected:
             state.remove()
-            order = sorted(range(len(turn_idxs)), key=lambda i: turn_idxs[i])
-            conv = pd.DataFrame(
-                {
-                    "conv_id": [conv_id],
-                    "turn_idxs": [[turn_idxs[i] for i in order]],
-                    "roles": [[roles[i] for i in order]],
-                    "texts": [[texts[i] for i in order]],
-                }
-            )
-            yield from _extract_batches(iter([conv]), vocab)
+            yield from flush(turn_idxs, roles, texts)
         else:
             state.update((turn_idxs, roles, texts, n_expected))
+            if idle_timeout_ms is not None:
+                state.setTimeoutDuration(idle_timeout_ms)
             return
 
     return (
@@ -247,7 +272,11 @@ def stream_assemble_extract(stream: DataFrame, vocab=None) -> DataFrame:
             outputStructType=EXTRACT_SCHEMA,
             stateStructType=_ASSEMBLE_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
@@ -263,7 +292,9 @@ def run_assemble_stream(
     conversation assembler into parquet (one file per micro-batch via
     the checkpointed sink).  ``max_files=1`` forces one input file per
     micro-batch so conversations split across files genuinely cross
-    the state-store boundary."""
+    the state-store boundary.  Deliberately no ``idle_timeout_ms``
+    pass-through: availableNow + processing-time timeouts never
+    terminates (see stream_assemble_extract)."""
     extracted = stream_assemble_extract(
         read_transcript_stream(spark, input_dir, max_files=max_files), vocab
     )

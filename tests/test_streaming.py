@@ -238,6 +238,64 @@ def test_stateful_assembly_multi_assistant_no_premature_emit(spark, dirs):
     assert got == want
 
 
+def test_stateful_assembly_idle_timeout_flushes_markerless(spark, dirs):
+    """A conversation whose producer died before its EOC marker must
+    not pin the state store forever: with idle_timeout_ms set on a
+    continuous micro-batch trigger, the idle conversation is flushed
+    through the kernel path once no new turns arrive for the window
+    (the deployment shape for this feature — see the
+    stream_assemble_extract docstring for why availableNow drains
+    don't evaluate pending timeouts)."""
+    import time as _time
+
+    from ocr_spark.streaming import read_transcript_stream, stream_assemble_extract
+
+    inp, out = dirs
+    # orphan: system+user only, no marker, producer gone
+    _write_jsonl(os.path.join(inp, "a_orphan.jsonl"), [
+        {"conv_id": "orph0", "turn_idx": 0, "role": "system",
+         "text": "You are a geography assistant.", "tool": None,
+         "ts": "2024-01-01T00:00:00"},
+        {"conv_id": "orph0", "turn_idx": 1, "role": "user",
+         "text": "From City 50337 to Akureyri, how far?", "tool": None,
+         "ts": "2024-01-01T00:00:01"},
+    ])
+    data_dir = os.path.join(out, "data")
+    extracted = stream_assemble_extract(
+        read_transcript_stream(spark, inp), idle_timeout_ms=300
+    )
+    q = (
+        extracted.writeStream.format("parquet")
+        .option("path", data_dir)
+        .option("checkpointLocation", os.path.join(out, "_checkpoint"))
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        n = 0
+        while _time.time() < deadline:
+            try:
+                n = (spark.read.parquet(data_dir)
+                     .filter(F.col("conv_id") == "orph0").count())
+            except Exception:
+                n = 0  # sink directory not created yet
+            if n:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    data = spark.read.parquet(data_dir)
+    orph = data.filter(F.col("conv_id") == "orph0")
+    # both buffered turns flushed, exactly once, with their texts; no
+    # assistant turn ever arrived so nothing classifies as direction/
+    # distance (fallback is an assistant-turn property)
+    assert orph.count() == 2
+    assert {r["role"] for r in orph.collect()} == {"system", "user"}
+    assert {r["block_class"] for r in orph.collect()} == {"other"}
+
+
 def test_with_eoc_markers_counts(spark):
     """with_eoc_markers appends one marker per conversation with
     turn_idx = turn count, schema-compatible with the transcript table."""
