@@ -22,11 +22,13 @@ import ocr_spark.queries.multiturn  # noqa: F401
 # 5. implementations changed this round (simhash rewrite, n_planes
 #    parametrization, clusters convergence, shingle guard) — re-prove
 #    their rows stay green,
-# 6. the two queries new in round 3,
-# 7. one long-stable anchor (continuity with r1+r2 samples).
+# 6. the three queries new in round 3.
 #
-# Everything after the prefix keeps registration order; all of it
-# remains fully runnable/oracle-checked (tests cover 100% regardless).
+# Those six sections fill the 50-entry window exactly; the long-stable
+# r1+r2-green queries follow immediately after in registration order
+# (their continuity evidence is the two green rows they already hold).
+# Everything after the prefix remains fully runnable/oracle-checked
+# (tests cover 100% regardless).
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
@@ -57,14 +59,23 @@ _DRIVER_PRIORITY = [
 ]
 
 
-def _reorder(d: dict) -> dict:
-    head = {k: d[k] for k in _DRIVER_PRIORITY if k in d}
-    return head | {k: v for k, v in d.items() if k not in head}
+def _reorder_in_place(d: dict) -> None:
+    """Re-key ``d`` itself into priority-then-registration order.
+
+    In place, NOT a rebind: the package-level QUERIES/ORACLES are the
+    same objects ``catalog._register`` mutates, so a module registered
+    after this one (or lazily in a test) still lands in the dict the
+    driver consumes instead of silently diverging into a second copy.
+    """
+    ordered = {k: d[k] for k in _DRIVER_PRIORITY if k in d}
+    ordered.update({k: v for k, v in d.items() if k not in ordered})
+    d.clear()
+    d.update(ordered)
 
 
 _missing = [k for k in _DRIVER_PRIORITY if k not in QUERIES]
 assert not _missing, f"driver-priority names not in catalog: {_missing}"
-QUERIES = _reorder(QUERIES)
-ORACLES = _reorder(ORACLES)
+_reorder_in_place(QUERIES)
+_reorder_in_place(ORACLES)
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -391,7 +391,12 @@ _X5_SCHEMA = StructType(
 #: render prefix (prefix ends with '\n', a self-contained piece, so
 #: counts compose across the concat boundary), and build_labels masks
 #: split_idx + trailing 2, so n_predictable = n_tokens - split_idx - 2.
-#: Verified equal to the Python kernel on every sf0.01 conversation.
+#: The kernel's ``ids.index(106, min_idx=10)`` MISSES a model marker
+#: sitting at token index < 10 (a very short user turn) and falls back
+#: to (-1, 0) — the CASE mirrors that exactly instead of assuming the
+#: marker is always found (that latent divergence could never fire on
+#: sf0.01 but would on any corpus with short user turns).  Verified
+#: equal to the Python kernel on every sf0.01 conversation.
 _X5_SQL = with_transcripts(f"""
 , p AS (
   SELECT conv_id,
@@ -409,11 +414,12 @@ c AS (
          CAST(len(regexp_extract_all(prefix || '<start_of_turn>model' || chr(10)
                                      || a || '<end_of_turn>' || chr(10),
                                      '{_PIECE_RE_SQL}')) AS INTEGER) AS n_tokens,
-         CAST(len(regexp_extract_all(prefix, '{_PIECE_RE_SQL}')) + 3 AS INTEGER) AS split_idx
+         CAST(len(regexp_extract_all(prefix, '{_PIECE_RE_SQL}')) AS INTEGER) AS prefix_pieces
   FROM r
 )
-SELECT conv_id, n_tokens, split_idx,
-       CAST(n_tokens - split_idx - 2 AS INTEGER) AS n_predictable
+SELECT conv_id, n_tokens,
+       CAST(CASE WHEN prefix_pieces >= 10 THEN prefix_pieces + 3 ELSE -1 END AS INTEGER) AS split_idx,
+       CAST(CASE WHEN prefix_pieces >= 10 THEN n_tokens - prefix_pieces - 5 ELSE 0 END AS INTEGER) AS n_predictable
 FROM c
 """)
 

@@ -434,12 +434,18 @@ def connected_components_star(
 
     Per round: large-star hangs every larger neighbor off its
     neighborhood minimum, small-star re-hangs the not-larger ones; both
-    are one groupBy + one broadcast-free equi-join over the edge set,
-    localCheckpoint-ed so plan lineage stays flat.  Convergence
-    certificate: the edge multiset is a fixpoint when (count,
-    sum(s), sum(d)) is stable round-over-round (edges only ever move
-    toward smaller minima, so the sum decreases monotonically until
-    the fixpoint); on the fixpoint every node's edges point at its
+    are one groupBy + one broadcast-free equi-join over the edge set.
+    Each round ends in an eager ``localCheckpoint`` — mandatory, not an
+    optimization: a star references its input plan TWICE (the
+    symmetrized set feeds both the min-aggregate and the join), so an
+    untruncated plan QUADRUPLES per round pair and analysis time blows
+    up exponentially by round ~3 (measured).  The superseded round's
+    checkpoint blocks are then released eagerly through the LogicalRDD
+    handle (best-effort; the context cleaner would get them eventually)
+    so executor block storage holds O(1) edge-set copies, not
+    O(rounds).  Convergence certificate: the edge multiset is a
+    fixpoint when its (count, hash-sum) fingerprint is stable
+    round-over-round; on the fixpoint every node's edges point at its
     component min."""
     e = (
         edges.select(F.col("s").cast("long"), F.col("d").cast("long"))
@@ -478,17 +484,32 @@ def connected_components_star(
             out = joined.filter(F.col("d") <= F.col("s")).select(
                 F.col("d").alias("s"), F.col("m").alias("d"))
             out = out.unionAll(m.select(F.col("s"), F.col("m").alias("d")))
-        return (
-            out.filter(F.col("s") != F.col("d"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        return out.filter(F.col("s") != F.col("d")).distinct()
+
+    def _release_checkpoint(df: DataFrame) -> None:
+        """Free a superseded localCheckpoint's blocks NOW (best-effort).
+
+        ``DataFrame.unpersist`` is a no-op for checkpointed frames (no
+        cache-manager entry); the blocks belong to the internal RDD the
+        LogicalRDD plan node wraps.  Verified: after ``rdd.unpersist``
+        the blocks are gone (re-reading the frame raises
+        CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND) — safe here because a
+        superseded round is never touched again.
+        """
+        try:
+            plan = df._jdf.queryExecution().analyzed()
+            if plan.getClass().getSimpleName() == "LogicalRDD":
+                plan.rdd().unpersist(False)
+        except Exception:
+            pass  # context cleaner will reclaim it on GC instead
 
     prev = _cert(e)
     converged = False
     for _ in range(max_rounds):
-        e = _star(_star(e, large=True), large=False)
-        cur = _cert(e)
+        new_e = _star(_star(e, large=True), large=False).localCheckpoint(eager=True)
+        cur = _cert(new_e)
+        _release_checkpoint(e)  # new_e is materialized; old round is dead
+        e = new_e
         if cur == prev:
             converged = True
             break

@@ -142,6 +142,11 @@ def run_stream(
 #: turns as three parallel primitive arrays (same layout rationale as
 #: pipeline.conversations — cheap through Arrow) plus the expected turn
 #: count once the end-of-conversation marker has been seen (-1 before).
+#: SCHEMA VERSION NOTE: ``n_expected`` was added in round 3 (marker
+#: gating); Spark's state store pins the state schema at checkpoint
+#: creation, so a stream checkpointed under the old 3-field schema
+#: cannot resume on this code — drain the old checkpoint with the old
+#: code (or reprocess the source) and start a fresh checkpoint dir.
 _ASSEMBLE_STATE_SCHEMA = (
     "turn_idxs array<int>, roles array<string>, texts array<string>, n_expected int"
 )
@@ -294,20 +299,44 @@ def run_assemble_stream(
     micro-batch so conversations split across files genuinely cross
     the state-store boundary.  Deliberately no ``idle_timeout_ms``
     pass-through: availableNow + processing-time timeouts never
-    terminates (see stream_assemble_extract)."""
+    terminates (see stream_assemble_extract).
+
+    Returns the number of conversations STILL BUFFERED after the drain
+    (read back from the state store) and warns when it is non-zero:
+    completion is marker-gated, so a producer that never emits
+    :data:`EOC_ROLE` rows would otherwise drain "successfully" with
+    every conversation parked in state and ZERO output rows — silent
+    data loss.  A non-zero count is legitimate mid-pipeline (more
+    drop-files are coming); at end-of-input it means the producer must
+    emit markers (``with_eoc_markers``) or the deployment needs the
+    idle-timeout flush on a continuous trigger."""
+    import warnings
+
     extracted = stream_assemble_extract(
         read_transcript_stream(spark, input_dir, max_files=max_files), vocab
     )
+    ckpt = os.path.join(output_dir, "_checkpoint")
     q = (
         extracted.writeStream.format("parquet")
         .option("path", os.path.join(output_dir, "data"))
-        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .option("checkpointLocation", ckpt)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return q
+    pending = spark.read.format("statestore").load(ckpt).count()
+    if pending:
+        warnings.warn(
+            f"run_assemble_stream: {pending} conversation(s) remain buffered "
+            f"in the state store after the drain (no end-of-conversation "
+            f"marker seen yet). If this is the end of the input, the "
+            f"producer must emit EOC_ROLE marker rows (see with_eoc_markers) "
+            f"or the stream needs idle_timeout_ms on a continuous trigger.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return pending
 
 
 def stream_turn_rate(

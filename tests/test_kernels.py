@@ -397,6 +397,36 @@ class TestProperties:
         want = [len(_PIECE_RE.findall(t)) for t in texts]
         assert list(count_pieces_batch(texts)) == want
 
+    def test_x5_split_short_prefix_matches_oracle_case(self):
+        """The x5_token_split oracle mirrors the kernel's min_idx=10
+        contract: a prefix shorter than 10 pieces puts the model marker
+        below the search floor, so the kernel reports (-1, 0) — and so
+        must the oracle's CASE (code-review r3 latent divergence)."""
+        from ocr_spark.kernels import render_chat_template
+        from ocr_spark.kernels.tokenizer import (
+            DeterministicTokenizer,
+            build_labels,
+            split_idx_second_marker,
+            _PIECE_RE,
+        )
+
+        tok = DeterministicTokenizer()
+        for user, assistant in [("hi", "B"), ("one two", "4200 km"),
+                                ("a reasonably long user question here?", "B")]:
+            msgs = [{"role": "user", "content": user},
+                    {"role": "assistant", "content": assistant}]
+            render = render_chat_template(msgs)
+            ids = tok.encode(render)
+            si = split_idx_second_marker(ids)
+            labels = build_labels(ids, si) if si is not None else []
+            n_pred = sum(1 for x in labels if x != -100)
+            prefix = f"<bos><start_of_turn>user\n{user}<end_of_turn>\n"
+            pp = len(_PIECE_RE.findall(prefix))
+            want_si = pp + 3 if pp >= 10 else -1
+            want_np = len(ids) - pp - 5 if pp >= 10 else 0
+            assert (si if si is not None else -1) == want_si, (user, pp)
+            assert n_pred == want_np, (user, pp)
+
     def test_count_pieces_batch_reduceat_edges(self):
         """Deterministic traps for the round-3 reduceat rewrite: a row
         with >127 pieces (an int8 accumulator would overflow), rows

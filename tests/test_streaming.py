@@ -296,6 +296,35 @@ def test_stateful_assembly_idle_timeout_flushes_markerless(spark, dirs):
     assert {r["block_class"] for r in orph.collect()} == {"other"}
 
 
+def test_assemble_drain_reports_pending_markerless(spark, dirs):
+    """Code-review r3: a marker-less corpus must not drain 'green' with
+    zero output and no signal.  run_assemble_stream returns the count
+    of still-buffered conversations (state-store readback) and warns."""
+    import warnings
+
+    from ocr_spark.streaming import run_assemble_stream
+
+    inp, out = dirs
+    rows = _turns("m0", 0)  # trailing assistant turn but NO marker
+    _write_jsonl(os.path.join(inp, "a.jsonl"), rows)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pending = run_assemble_stream(spark, inp, out)
+    assert pending == 1
+    assert any("remain buffered" in str(x.message) for x in w)
+
+    # the marker arrives in a later drop-file: conversation completes,
+    # nothing pending, no warning
+    _write_jsonl(os.path.join(inp, "b.jsonl"), [_eoc("m0", len(rows))])
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        pending2 = run_assemble_stream(spark, inp, out)
+    assert pending2 == 0
+    assert not any("remain buffered" in str(x.message) for x in w2)
+    data = spark.read.parquet(os.path.join(out, "data"))
+    assert data.count() == len(rows)
+
+
 def test_with_eoc_markers_counts(spark):
     """with_eoc_markers appends one marker per conversation with
     turn_idx = turn count, schema-compatible with the transcript table."""
