@@ -240,6 +240,8 @@ JOIN (
   SELECT vec_id, [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) FOR x IN embedding] AS bm
   FROM embeddings WHERE vec_id % 2 = 1
 ) b ON b.vec_id = a.vec_id + 1
+WHERE CAST(list_sum([am[i] * am[i] FOR i IN generate_series(1, 64)]) AS BIGINT) > 0
+  AND CAST(list_sum([bm[i] * bm[i] FOR i IN generate_series(1, 64)]) AS BIGINT) > 0
 """,
 )
 def a11_cosine_l2(spark, sf_dir):
@@ -257,6 +259,9 @@ def a11_cosine_l2(spark, sf_dir):
     dot = dot_micros(F.col("am"), F.col("bm"))
     n2a = dot_micros(F.col("am"), F.col("am"))
     n2b = dot_micros(F.col("bm"), F.col("bm"))
+    # cosine undefined for zero vectors; drop such pairs (oracle
+    # mirrors with the same guards; ANSI mode would otherwise fail)
+    j = j.filter((n2a > 0) & (n2b > 0))
     diff = F.aggregate(
         F.zip_with(F.col("am"), F.col("bm"), lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"), lambda acc, x: acc + x,

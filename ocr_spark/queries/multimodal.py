@@ -116,17 +116,25 @@ _FEAT_SCHEMA = StructType(
 
 @_register(
     "mm_feature_extract",
+    # ASCII-class counts run on the source TEXT, not on
+    # CAST(payload AS VARCHAR): DuckDB renders non-ASCII blob bytes as
+    # \xHH escape SEQUENCES, whose literal 'x'/hex chars inflate the
+    # alpha/digit counts on any multibyte input (edge-sweep r3 finding;
+    # sf0.01 is pure ASCII so it never fired there).  Char counts of
+    # the ASCII classes equal their byte counts in UTF-8 — multibyte
+    # code points only produce bytes >= 0x80, which land in n_other via
+    # the octet_length remainder, exactly like the kernel's byte LUT.
     f"""
 WITH media AS ({_MEDIA_CTE})
-SELECT doc_id, media_type,
-       length(regexp_replace(CAST(payload AS VARCHAR), '[^A-Za-z]', '', 'g')) AS n_alpha,
-       length(regexp_replace(CAST(payload AS VARCHAR), '[^0-9]', '', 'g')) AS n_digit,
-       length(CAST(payload AS VARCHAR)) - length(replace(replace(replace(replace(CAST(payload AS VARCHAR), ' ', ''), chr(9), ''), chr(10), ''), chr(13), '')) AS n_space,
-       octet_length(payload)
-         - length(regexp_replace(CAST(payload AS VARCHAR), '[^A-Za-z]', '', 'g'))
-         - length(regexp_replace(CAST(payload AS VARCHAR), '[^0-9]', '', 'g'))
-         - (length(CAST(payload AS VARCHAR)) - length(replace(replace(replace(replace(CAST(payload AS VARCHAR), ' ', ''), chr(9), ''), chr(10), ''), chr(13), ''))) AS n_other
-FROM media
+SELECT m.doc_id, m.media_type,
+       length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       length(regexp_replace(d.text, '[^0-9]', '', 'g')) AS n_digit,
+       length(d.text) - length(replace(replace(replace(replace(d.text, ' ', ''), chr(9), ''), chr(10), ''), chr(13), '')) AS n_space,
+       octet_length(m.payload)
+         - length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))
+         - length(regexp_replace(d.text, '[^0-9]', '', 'g'))
+         - (length(d.text) - length(replace(replace(replace(replace(d.text, ' ', ''), chr(9), ''), chr(10), ''), chr(13), ''))) AS n_other
+FROM media m JOIN documents d ON d.doc_id = m.doc_id
 """,
 )
 def mm_feature_extract(spark, sf_dir):

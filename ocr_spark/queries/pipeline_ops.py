@@ -839,6 +839,11 @@ def _cosine_pairs(spark, sf_dir, query_filter, neighbor_filter=None) -> DataFram
         "n2", F.aggregate(F.transform("e", lambda x: x * x), F.lit(0).cast("long"),
                           lambda acc, x: acc + x)
     )
+    # cosine is undefined for a zero vector; excluding them up front
+    # (mirrored by the oracles' norm2 > 0 guards) beats emitting NULLs
+    # whose sort position differs between engines — and under ANSI mode
+    # the division would hard-fail the whole job (edge-sweep r3)
+    emb = emb.filter(F.col("n2") > 0)
     q = emb.filter(query_filter).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("n2").alias("qn2"))
     n = emb if neighbor_filter is None else emb.filter(neighbor_filter)
@@ -863,8 +868,9 @@ _SQL_COS = (
 SELECT q_id, vec_id, cosine FROM (
   SELECT q.vec_id AS q_id, n.vec_id AS vec_id, {_SQL_COS} AS cosine,
          row_number() OVER (PARTITION BY q.vec_id ORDER BY {_SQL_COS} DESC, n.vec_id) AS rn
-  FROM embeddings n
-  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+  FROM (SELECT * FROM embeddings WHERE CAST(list_sum([CAST(round(CAST(list_extract(embedding, i) AS DOUBLE) * 1000000) AS BIGINT) * CAST(round(CAST(list_extract(embedding, i) AS DOUBLE) * 1000000) AS BIGINT) FOR i IN generate_series(1, 64)]) AS BIGINT) > 0) n
+  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8
+              AND CAST(list_sum([CAST(round(CAST(list_extract(embedding, i) AS DOUBLE) * 1000000) AS BIGINT) * CAST(round(CAST(list_extract(embedding, i) AS DOUBLE) * 1000000) AS BIGINT) FOR i IN generate_series(1, 64)]) AS BIGINT) > 0) q
   WHERE n.vec_id <> q.vec_id
 ) WHERE rn <= 5
 """,
@@ -920,6 +926,7 @@ WITH b AS (
   SELECT vec_id, embedding,
          {sql_sign_bucket('embedding')} AS bucket
   FROM embeddings
+  WHERE CAST(list_sum([CAST(round(CAST(list_extract(embedding, i) AS DOUBLE) * 1000000) AS BIGINT) * CAST(round(CAST(list_extract(embedding, i) AS DOUBLE) * 1000000) AS BIGINT) FOR i IN generate_series(1, 64)]) AS BIGINT) > 0
 )
 SELECT q_id, vec_id, cosine FROM (
   SELECT q.vec_id AS q_id, n.vec_id AS vec_id, {_SQL_COS} AS cosine,
@@ -940,6 +947,7 @@ def ann_lsh_bucketed(spark, sf_dir, n_planes: int = 3):
     emb = emb.withColumn(
         "n2", F.aggregate(F.transform("e", lambda x: x * x), F.lit(0).cast("long"),
                           lambda acc, x: acc + x))
+    emb = emb.filter(F.col("n2") > 0)  # zero vectors: cosine undefined
     emb = emb.withColumn("bucket", sign_bucket("e", n_planes))
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
@@ -971,6 +979,7 @@ WITH b AS (
   SELECT vec_id, embedding,
          {sql_sign_bucket('embedding')} AS bucket
   FROM embeddings
+  WHERE CAST(list_sum([CAST(round(CAST(list_extract(embedding, i) AS DOUBLE) * 1000000) AS BIGINT) * CAST(round(CAST(list_extract(embedding, i) AS DOUBLE) * 1000000) AS BIGINT) FOR i IN generate_series(1, 64)]) AS BIGINT) > 0
 )
 SELECT q.vec_id AS doc_a, n.vec_id AS doc_b, {_SQL_COS} AS cosine
 FROM b n JOIN b q ON n.bucket = q.bucket AND n.vec_id > q.vec_id
@@ -991,6 +1000,7 @@ def embedding_neardup(spark, sf_dir, n_planes: int = 3):
     emb = emb.withColumn(
         "n2", F.aggregate(F.transform("e", lambda x: x * x), F.lit(0).cast("long"),
                           lambda acc, x: acc + x))
+    emb = emb.filter(F.col("n2") > 0)  # zero vectors: cosine undefined
     emb = emb.withColumn("bucket", sign_bucket("e", n_planes))
     q = emb.select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
@@ -1340,7 +1350,7 @@ asg AS (
     SELECT v.vec_id, v.embedding, c.cent_id,
            row_number() OVER (PARTITION BY v.vec_id
                               ORDER BY {_sql_dist2('v.embedding', 'c.cemb')}, c.cent_id) AS rn
-    FROM embeddings v CROSS JOIN cent c
+    FROM (SELECT * FROM embeddings WHERE CAST(list_sum([CAST(round(CAST(list_extract(embedding, i) AS DOUBLE) * 1000000) AS BIGINT) * CAST(round(CAST(list_extract(embedding, i) AS DOUBLE) * 1000000) AS BIGINT) FOR i IN generate_series(1, 64)]) AS BIGINT) > 0) v CROSS JOIN cent c
   ) WHERE rn = 1
 ),
 probes AS (
@@ -1349,6 +1359,7 @@ probes AS (
            row_number() OVER (PARTITION BY q.vec_id
                               ORDER BY {_sql_dist2('q.embedding', 'c.cemb')}, c.cent_id) AS rn
     FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8
+      AND CAST(list_sum([CAST(round(CAST(list_extract(q.embedding, i) AS DOUBLE) * 1000000) AS BIGINT) * CAST(round(CAST(list_extract(q.embedding, i) AS DOUBLE) * 1000000) AS BIGINT) FOR i IN generate_series(1, 64)]) AS BIGINT) > 0
   ) WHERE rn <= 2
 )
 SELECT q_id, vec_id, cosine FROM (
@@ -1378,6 +1389,10 @@ def ann_ivf_probe(spark, sf_dir):
                           lambda acc, x: acc + x))
     cent = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 108)).select(
         F.col("vec_id").alias("cent_id"), F.col("e").alias("ce"), F.col("n2").alias("cn2"))
+    # zero vectors are excluded from the assigned/query sides (cosine
+    # undefined; oracle mirrors with norm2 > 0) but NOT from the
+    # centroid codebook, whose L2 assignment needs no division
+    emb = emb.filter(F.col("n2") > 0)
 
     def dist2(e_col, n2_col):
         return n2_col + F.col("cn2") - 2 * dot_micros(e_col, F.col("ce"))
