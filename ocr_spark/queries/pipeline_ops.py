@@ -750,7 +750,17 @@ def simhash_hamming_pairs(spark, sf_dir):
     all-pairs filter while shuffling only O(docs x 4) fingerprint rows
     (an all-pairs scan at 10^12 docs is impossible; the oracle can
     afford it at sf0.01).  The exact Hamming check then runs only on
-    band-colliding candidates."""
+    band-colliding candidates.
+
+    Scale honesty: 16 bits / 4-bit bands is the ORACLE-CHECKABLE
+    MINIATURE — 16 bucket values per band cannot bound per-bucket
+    candidate counts at corpus scale.  The production layout is Manku
+    et al. (WWW'07, "Detecting Near-Duplicates for Web Crawling"):
+    64-bit fingerprints, several permuted tables each keyed on a
+    ~30-bit prefix so buckets stay small, same pigeonhole guarantee
+    for d<=3 and the SAME equi-join skeleton as here — widening the
+    fingerprint and band key changes constants in this query, not its
+    shape."""
     fp = dedup_simhash(spark, sf_dir)
     nibbles = F.array(
         *[F.shiftright(F.col("simhash"), 4 * b).bitwiseAND(F.lit(15)) for b in range(4)]
