@@ -125,3 +125,93 @@ def test_edge_corpus_parity(name, spark, edge_dir, edge_duck):
     s, o = _canon(spark_df), _canon(oracle_df)
     mismatches = [(a, b) for a, b in zip(s, o) if a != b]
     assert not mismatches, f"{name}: first mismatches: {mismatches[:3]}"
+
+
+# ---------------------------------------------------------------------------
+# transcript-family edge: exotic doc_ids
+# ---------------------------------------------------------------------------
+# The derived-transcript oracles never see documents.text, but they DO
+# compute on doc_id: lpad(.., 8) conv_ids (TRUNCATED identically by
+# both engines at >= 9 digits, deliberately included), % pick indices,
+# and doc_id-keyed joins.  Exercise them at id ranges sf0.01 can't
+# produce: 0, the 8-digit boundary, 9-digit truncation collisions, and
+# a large 64-bit-ish value.
+
+_EDGE_IDS = [0, 1, 7, 9999999, 99999999, 100000000, 123456789, 123456790,
+             98765432101]
+
+
+@pytest.fixture(scope="module")
+def edge_ids_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("edge_ids"))
+    docs = pd.DataFrame(
+        [(i, "en", f"edge id {i}", "edge", len(f"edge id {i}")) for i in _EDGE_IDS],
+        columns=["doc_id", "lang", "text", "source", "n_chars"],
+    )
+    spark.createDataFrame(docs).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def edge_ids_duck(edge_ids_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{edge_ids_dir}/documents.parquet/*.parquet')"
+    )
+    yield con
+    con.close()
+
+
+def _transcript_targets():
+    return sorted(
+        n for n, sql in ORACLES.items() if "transcripts" in sql
+    )
+
+
+@pytest.mark.parametrize("name", _transcript_targets())
+def test_transcript_oracles_on_exotic_doc_ids(name, spark, edge_ids_dir, edge_ids_duck):
+    spark_df = QUERIES[name](spark, edge_ids_dir).toPandas()
+    oracle_df = edge_ids_duck.execute(ORACLES[name]).df()
+    assert sorted(spark_df.columns) == sorted(oracle_df.columns)
+    assert len(spark_df) == len(oracle_df), (
+        f"{name}: row count {len(spark_df)} vs {len(oracle_df)}"
+    )
+    s, o = _canon(spark_df), _canon(oracle_df)
+    mismatches = [(a, b) for a, b in zip(s, o) if a != b]
+    assert not mismatches, f"{name}: first mismatches: {mismatches[:3]}"
+
+
+# ---------------------------------------------------------------------------
+# cross-engine fuzz of the piece-regex mirror
+# ---------------------------------------------------------------------------
+
+def test_piece_regex_sql_mirror_fuzz(edge_duck):
+    """DuckDB RE2 count of _PIECE_RE_SQL must equal Python re's count
+    on deterministic pseudo-random strings mixing every char class the
+    regex distinguishes (letters, digits, spaces, newlines, accented
+    letters, punctuation runs, apostrophes, marker substrings)."""
+    import random
+
+    from ocr_spark.kernels.tokenizer import _PIECE_RE
+    from ocr_spark.queries.catalog import _PIECE_RE_SQL
+
+    rng = random.Random(20260817)
+    alphabet = list(
+        "abz AZ09 ..,!?'  \n\nàéɏ--::<bos><start_of_turn>model km) ("
+    )
+    cases = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+             for _ in range(300)]
+    df = pd.DataFrame({"t": cases})
+    edge_duck.register("fuzz_t", df)
+    got = [
+        r[0]
+        for r in edge_duck.execute(
+            f"SELECT len(regexp_extract_all(t, '{_PIECE_RE_SQL}')) FROM fuzz_t"
+        ).fetchall()
+    ]
+    want = [len(_PIECE_RE.findall(t)) for t in cases]
+    bad = [(c, g, w) for c, g, w in zip(cases, got, want) if g != w]
+    assert not bad, f"first divergences: {bad[:3]}"
