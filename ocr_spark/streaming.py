@@ -325,7 +325,13 @@ def run_assemble_stream(
         .start()
     )
     q.awaitTermination()
-    pending = spark.read.format("statestore").load(ckpt).count()
+    try:
+        pending = spark.read.format("statestore").load(ckpt).count()
+    except Exception:
+        # STDS_COMMITTED_BATCH_UNAVAILABLE: the drain committed no
+        # micro-batch at all (empty input directory) — nothing can be
+        # buffered, so there is nothing to warn about
+        pending = 0
     if pending:
         warnings.warn(
             f"run_assemble_stream: {pending} conversation(s) remain buffered "

@@ -325,6 +325,16 @@ def test_assemble_drain_reports_pending_markerless(spark, dirs):
     assert data.count() == len(rows)
 
 
+def test_assemble_drain_empty_input_reports_zero(spark, dirs):
+    """A drain over an empty drop directory commits no micro-batch, so
+    the statestore readback has no committed batch to read — that must
+    surface as pending == 0, not as a crash."""
+    from ocr_spark.streaming import run_assemble_stream
+
+    inp, out = dirs
+    assert run_assemble_stream(spark, inp, out) == 0
+
+
 def test_with_eoc_markers_counts(spark):
     """with_eoc_markers appends one marker per conversation with
     turn_idx = turn count, schema-compatible with the transcript table."""
