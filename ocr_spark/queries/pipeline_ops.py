@@ -286,7 +286,15 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     """LSH banding (4 bands x 2 rows): docs sharing any band bucket are
     near-dup candidates.  The candidate join is an equi-join on
     (band, bucket) — the web-scale alternative to all-pairs Jaccard."""
-    sigs = _minhash_sigs(spark, sf_dir)
+    return _lsh_pairs_from(_minhash_sigs(spark, sf_dir))
+
+
+def _lsh_pairs_from(sigs: DataFrame) -> DataFrame:
+    """Banded candidate pairs from a signature DataFrame.  Consumers
+    that also need the signatures themselves (minhash_jaccard_est)
+    pass the SAME DataFrame here so the signature subtree appears once
+    per plan and AQE's stage reuse avoids recomputing the shingle
+    scan + aggregation."""
     buckets = sigs.groupBy("doc_id", (F.col("perm") / 2).cast("long").alias("band")).agg(
         F.concat(
             F.max(F.when(F.col("perm") % 2 == 0, F.col("minhash"))).cast("string"),
@@ -820,7 +828,7 @@ def minhash_jaccard_est(spark, sf_dir):
     sized, and the division by a power of two is exact in binary so
     the double compares bit-identically across engines."""
     sigs = _minhash_sigs(spark, sf_dir)
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    pairs = _lsh_pairs_from(sigs)  # shared subtree -> one shingle scan
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
     joined = (
