@@ -44,7 +44,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocr_spark.pipeline import extract_conversations
+from ocr_spark.pipeline import extract_conversations, oversized_conv_ids
 
 MANIFEST = "_manifest.json"
 
@@ -82,6 +82,7 @@ class BucketStats:
     n_turns: int
     n_ok: int
     n_fallback: int
+    n_rerouted: int
     wall_sec: float
 
 
@@ -96,10 +97,21 @@ class CheckpointedExtraction:
         lineage/...               parquet metrics table, appended per commit
     """
 
-    def __init__(self, spark: SparkSession, output_dir: str, n_buckets: int = 16):
+    def __init__(
+        self,
+        spark: SparkSession,
+        output_dir: str,
+        n_buckets: int = 16,
+        writer: "SnapshotWriter | None" = None,
+    ):
+        from ocr_spark.iceberg import ParquetSnapshotWriter
+
         self.spark = spark
         self.output_dir = output_dir
         self.n_buckets = n_buckets
+        # storage seam (ocr_spark.iceberg): parquet by default; pass an
+        # IcebergSnapshotWriter when a real catalog + runtime jar exist
+        self.writer = writer or ParquetSnapshotWriter(spark, output_dir)
         os.makedirs(output_dir, exist_ok=True)
 
     # -- staging ---------------------------------------------------------
@@ -150,8 +162,7 @@ class CheckpointedExtraction:
         t0 = time.time()
         part = self.spark.read.parquet(os.path.join(self.staged_dir, f"bucket={b}"))
         out = extract_conversations(part).persist()
-        data_dir = os.path.join(self.output_dir, "data", f"bucket={b}")
-        out.write.mode("overwrite").parquet(data_dir)
+        self.writer.write_bucket_data(out, b)
         agg = out.agg(
             F.countDistinct("conv_id").alias("n_convs"),
             F.count("*").alias("n_turns"),
@@ -159,6 +170,9 @@ class CheckpointedExtraction:
             F.sum((F.col("status") == "fallback").cast("long")).alias("n_fallback"),
         ).collect()[0]
         out.unpersist()
+        # skew-guard lineage: how many conversations in this bucket were
+        # rerouted off the collect_list render path (pipeline.py caps)
+        n_rerouted = oversized_conv_ids(part).count()
         wall = time.time() - t0
         st = BucketStats(
             bucket=b,
@@ -166,23 +180,23 @@ class CheckpointedExtraction:
             n_turns=agg["n_turns"] or 0,
             n_ok=agg["n_ok"] or 0,
             n_fallback=agg["n_fallback"] or 0,
+            n_rerouted=n_rerouted,
             wall_sec=round(wall, 3),
         )
 
         # lineage row first, then manifest: a crash between the two
         # leaves an uncommitted bucket with a dangling lineage row.  The
-        # row is written to its own ``bucket=<b>`` partition directory
-        # with mode=overwrite, so the retry replaces the dangling row
-        # instead of appending a duplicate — read_lineage() never
-        # double-counts a bucket.
+        # parquet writer puts the row in its own ``bucket=<b>`` partition
+        # directory with mode=overwrite (the Iceberg writer appends —
+        # its snapshot log supplies the dedup there), so the retry
+        # replaces the dangling row instead of double-counting.
         lineage = self.spark.createDataFrame(
             [(st.n_convs, st.n_turns, st.n_ok, st.n_fallback,
-              st.wall_sec, time.time())],
-            "n_convs long, n_turns long, n_ok long, "
-            "n_fallback long, wall_sec double, committed_at double",
+              st.n_rerouted, st.wall_sec, time.time())],
+            "n_convs long, n_turns long, n_ok long, n_fallback long, "
+            "n_rerouted long, wall_sec double, committed_at double",
         )
-        lineage.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self.output_dir, "lineage", f"bucket={b}"))
+        self.writer.write_lineage_row(lineage, b)
 
         m = read_manifest(self.output_dir)
         m["n_buckets"] = self.n_buckets
@@ -194,19 +208,13 @@ class CheckpointedExtraction:
     def read_output(self) -> DataFrame:
         """Committed extraction rows only (manifest-filtered)."""
         m = read_manifest(self.output_dir)
-        dirs = [
-            os.path.join(self.output_dir, "data", f"bucket={b}")
-            for b in m["committed"]
-        ]
-        if not dirs:
-            raise ValueError("no committed buckets")
-        return self.spark.read.parquet(*dirs)
+        return self.writer.read_output(m["committed"])
 
     def read_lineage(self) -> DataFrame:
         """Per-bucket lineage rows; ``bucket`` comes back as the
         discovered partition column (one row per bucket guaranteed by
-        the per-bucket overwrite in _commit_bucket)."""
-        return self.spark.read.parquet(os.path.join(self.output_dir, "lineage"))
+        the per-bucket overwrite in the parquet writer)."""
+        return self.writer.read_lineage()
 
 
 # ===========================================================================

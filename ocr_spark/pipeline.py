@@ -22,10 +22,19 @@ Two execution paths over the canonical transcript table
 Skew: :func:`salted_repartition` spreads giant conversations across
 ``salt_mod`` sub-partitions while ``sortWithinPartitions`` keeps turn
 order stable within each salted group (north_rule "salted keys for
-skewed long conversations").  Per-turn extraction is salting-safe;
-the render path instead bounds group size via AQE skew handling and
-the collect_list aggregate (a 10^6-turn conversation produces one
-large row either way — inherent to whole-conversation rendering).
+skewed long conversations").  Per-turn extraction is salting-safe.
+The render path is guarded against the one skew shape AQE cannot
+split — a single conversation whose ``collect_list`` row would be
+enormous: :func:`extract_conversations` first finds oversized
+conv_ids with a conv_id-only count pre-pass (columnar scan of one
+dictionary-encoded column; map-side partial counts, tiny shuffle)
+and routes them to :func:`extract_turns`, the zero-shuffle per-turn
+mirror whose output is row-identical (an assistant row implies its
+conversation has an assistant turn, so the render path's
+``comp_exists`` predicate is always true exactly where it matters —
+proven by test_giant_conversation_reroute's equality check).  The
+kernel additionally hard-fails if an over-cap conversation ever
+reaches assembly (defense in depth for plan regressions).
 """
 
 from __future__ import annotations
@@ -145,8 +154,41 @@ _ANSWER_RE = r"([A-E])"
 _MODEL_MARKER = "<start_of_turn>model\n"
 
 
+#: Render-path skew guard default: conversations above this many turns
+#: bypass ``collect_list`` assembly and run the per-turn mirror instead
+#: (north_rule "salted keys for skewed long conversations", completed).
+#: 2^16 turns x ~100 B/turn keeps the assembled row well under 10 MB.
+MAX_RENDER_TURNS = 65536
+
+
+def oversized_conv_ids(
+    df: DataFrame, max_turns: int | None = MAX_RENDER_TURNS,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """conv_ids whose conversations exceed the render-assembly caps.
+
+    The turn-count pre-pass projects ONLY conv_id (columnar scan of a
+    dictionary-encoded column; partial counts map-side).  ``max_bytes``
+    additionally bounds total text bytes per conversation — off by
+    default because it forces the pre-pass to read the text column.
+    """
+    aggs = [F.count("*").alias("n_turns")]
+    if max_bytes is not None:
+        aggs.append(F.sum(F.length("text")).alias("n_bytes"))
+        counts = df.select("conv_id", "text").groupBy("conv_id").agg(*aggs)
+    else:
+        counts = df.select("conv_id").groupBy("conv_id").agg(*aggs)
+    cond = F.lit(False)
+    if max_turns is not None:
+        cond = cond | (F.col("n_turns") > max_turns)
+    if max_bytes is not None:
+        cond = cond | (F.col("n_bytes") > max_bytes)
+    return counts.filter(cond).select("conv_id")
+
+
 def _extract_batches(
-    batches: Iterator[pd.DataFrame], vocab: Sequence[str]
+    batches: Iterator[pd.DataFrame], vocab: Sequence[str],
+    max_turns: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     """Kernel driver for one Arrow batch stream (one task).
 
@@ -167,6 +209,12 @@ def _extract_batches(
     for pdf in batches:
         lens = np.fromiter((len(x) for x in pdf["turn_idxs"]), dtype=np.int64,
                            count=len(pdf))
+        if max_turns is not None and len(lens) and int(lens.max()) > max_turns:
+            raise RuntimeError(
+                f"oversized conversation ({int(lens.max())} turns > cap "
+                f"{max_turns}) reached the render path — the reroute "
+                "pre-pass was bypassed or its plan regressed"
+            )
         n = int(lens.sum())
         if n == 0:
             yield pd.DataFrame({f.name: [] for f in EXTRACT_SCHEMA.fields})
@@ -263,16 +311,64 @@ def _extract_batches(
         )
 
 
-def extract_conversations(
-    df: DataFrame, vocab: Sequence[str] | None = None, num_partitions: int | None = None
+def _render_extract(
+    base: DataFrame, vocab: list, num_partitions: int | None,
+    max_turns: int | None,
 ) -> DataFrame:
-    """The flagship extraction job (render path).  See module docstring."""
-    vocab = list(vocab or DEFAULT_VOCAB)
-    convs = conversations(df.select("conv_id", "turn_idx", "role", "text"))
+    convs = conversations(base)
     if num_partitions:
         convs = convs.repartition(num_partitions, "conv_id")
     return convs.mapInPandas(
-        lambda it: _extract_batches(it, vocab), schema=EXTRACT_SCHEMA
+        lambda it: _extract_batches(it, vocab, max_turns), schema=EXTRACT_SCHEMA
+    )
+
+
+def extract_conversations(
+    df: DataFrame, vocab: Sequence[str] | None = None,
+    num_partitions: int | None = None,
+    max_turns: int | None = MAX_RENDER_TURNS,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """The flagship extraction job (render path).  See module docstring.
+
+    Conversations above ``max_turns`` turns (or ``max_bytes`` total
+    text bytes, if set) are routed to the per-turn mirror
+    :func:`extract_turns` instead of ``collect_list`` assembly; output
+    rows are identical either way (module docstring, skew paragraph).
+    ``max_turns=None`` with ``max_bytes=None`` disables routing.
+    """
+    vocab = list(vocab or DEFAULT_VOCAB)
+    base = df.select("conv_id", "turn_idx", "role", "text")
+    if max_turns is None and max_bytes is None:
+        return _render_extract(base, vocab, num_partitions, None)
+    big = oversized_conv_ids(base, max_turns, max_bytes)
+    regular = base.join(F.broadcast(big), "conv_id", "left_anti")
+    routed = base.join(F.broadcast(big), "conv_id", "left_semi")
+    return _render_extract(regular, vocab, num_partitions, max_turns).unionByName(
+        extract_turns(routed, vocab)
+    )
+
+
+def extract_turns(df: DataFrame, vocab: Sequence[str] | None = None) -> DataFrame:
+    """Per-turn mirror of the render path's output (EXTRACT_SCHEMA).
+
+    Native classify (X8/X2, zero shuffle) + the vectorized span and
+    token-count pandas UDFs.  Row-identical to the render path for any
+    input (see module docstring): this is both the 10^12-turn scale
+    path and the reroute target for oversized conversations.
+    """
+    vocab = list(vocab or DEFAULT_VOCAB)
+    c = classify_turns(df.select("conv_id", "turn_idx", "role", "text"))
+    return c.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "role",
+        F.col("text").alias("clean_text"),
+        span_udf(vocab)(F.col("text")).alias("char_spans"),
+        "block_class",
+        "answer",
+        "status",
+        token_count_udf()(F.col("text")).alias("n_tokens"),
     )
 
 

@@ -424,7 +424,7 @@ def dedup_clusters(spark, sf_dir):
 
 
 def connected_components_star(
-    edges: DataFrame, max_rounds: int = 24
+    edges: DataFrame, max_rounds: int = 24, stats: dict | None = None
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -451,10 +451,11 @@ def connected_components_star(
     checkpoint blocks are then released eagerly through the LogicalRDD
     handle (best-effort; the context cleaner would get them eventually)
     so executor block storage holds O(1) edge-set copies, not
-    O(rounds).  Convergence certificate: the edge multiset is a
-    fixpoint when its (count, hash-sum) fingerprint is stable
-    round-over-round; on the fixpoint every node's edges point at its
-    component min."""
+    O(rounds).  Convergence certificate: a stable (count, hash-sum)
+    fingerprint nominates a fixpoint, which is then CONFIRMED exactly
+    with one set-difference job on the final round (fingerprint
+    collisions cannot terminate the loop early); on the fixpoint every
+    node's edges point at its component min."""
     e = (
         edges.select(F.col("s").cast("long"), F.col("d").cast("long"))
         .filter(F.col("s") != F.col("d"))
@@ -513,15 +514,28 @@ def connected_components_star(
 
     prev = _cert(e)
     converged = False
+    rounds = 0
     for _ in range(max_rounds):
+        rounds += 1
         new_e = _star(_star(e, large=True), large=False).localCheckpoint(eager=True)
         cur = _cert(new_e)
-        _release_checkpoint(e)  # new_e is materialized; old round is dead
-        e = new_e
-        if cur == prev:
+        if cur == prev and new_e.exceptAll(e).isEmpty():
+            # fingerprint match confirmed EXACTLY (ADVICE r3): the
+            # (count, hash-sum) certificate is probabilistic, so the
+            # candidate fixpoint pays one extra set-difference job —
+            # counts are equal here and both sides are distinct(), so
+            # empty one-sided exceptAll proves set equality.  A
+            # colliding-but-changed edge set falls through and keeps
+            # iterating instead of returning wrong labels.
+            _release_checkpoint(e)
+            e = new_e
             converged = True
             break
+        _release_checkpoint(e)  # new_e is materialized; old round is dead
+        e = new_e
         prev = cur
+    if stats is not None:
+        stats["rounds"] = rounds  # measured round-pairs (bench evidence)
     if not converged:
         raise RuntimeError(
             f"connected_components_star: no fixpoint within {max_rounds} "
@@ -1397,41 +1411,57 @@ def ann_ivf_probe(spark, sf_dir):
     k-means codebook so both engines share it bit-exactly), every
     vector assigned to its nearest centroid by exact integer-micro L2,
     queries probe their nprobe=2 nearest lists and rank candidates by
-    exact cosine.  At scale: lists are partition keys — each probe is
-    a partition-pruned scan instead of a full-corpus pass, and the
-    codebook is a broadcast."""
+    exact cosine.
+
+    Scale shape (round 4): centroid assignment is MAP-ONLY.  The
+    codebook is driver-materialized (k rows — a codebook is a driver
+    artifact in any IVF build) and unrolled into one native
+    ``array_sort(array(struct(d2, cent_id), ...))`` expression, so
+    argmin and the nprobe list both come from element lookups with
+    ZERO shuffle of the corpus — the previous crossJoin + per-vec_id
+    window shuffled the whole corpus once just to pick the nearest of
+    8 centroids.  The only remaining exchange is the candidate-sized
+    top-k window on q_id (plan-guarded, tests/test_plans.py).  For
+    production k (~2^12) where k x dim literals would bloat codegen,
+    the same map-only shape is a broadcast-variable pandas UDF doing
+    one (batch x k) argmin matmul per Arrow batch."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", micros(F.col("embedding")).alias("e"))
     emb = emb.withColumn(
         "n2", F.aggregate(F.transform("e", lambda x: x * x), F.lit(0).cast("long"),
                           lambda acc, x: acc + x))
-    cent = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 108)).select(
-        F.col("vec_id").alias("cent_id"), F.col("e").alias("ce"), F.col("n2").alias("cn2"))
-    # zero vectors are excluded from the assigned/query sides (cosine
-    # undefined; oracle mirrors with norm2 > 0) but NOT from the
-    # centroid codebook, whose L2 assignment needs no division
+    # tiny driver-side collect (the codebook), like the convergence
+    # certificates: 8 rows, never corpus-sized.  Zero vectors are
+    # excluded from the assigned/query sides (cosine undefined; oracle
+    # mirrors with norm2 > 0) but NOT from the codebook, whose L2
+    # assignment needs no division.
+    cent_rows = sorted(
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
+        .select("vec_id", "e", "n2").collect(),
+        key=lambda r: r["vec_id"],
+    )
     emb = emb.filter(F.col("n2") > 0)
 
-    def dist2(e_col, n2_col):
-        return n2_col + F.col("cn2") - 2 * dot_micros(e_col, F.col("ce"))
+    def d2_of(r):
+        ce = F.array(*[F.lit(int(v)) for v in r["e"]])
+        dot = F.aggregate(F.zip_with(F.col("e"), ce, lambda x, y: x * y),
+                          F.lit(0).cast("long"), lambda acc, x: acc + x)
+        return F.col("n2") + F.lit(int(r["n2"])) - 2 * dot
 
-    w_asg = Window.partitionBy("vec_id").orderBy("d2", "cent_id")
-    asg = (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("d2", dist2(F.col("e"), F.col("n2")))
-        .withColumn("rn", F.row_number().over(w_asg))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "e", "n2", "cent_id")
-    )
+    # sorted (d2, cent_id) per row: struct comparison is field-order
+    # lexicographic, exactly the old window's orderBy(d2, cent_id)
+    ranked = F.array_sort(F.array(*[
+        F.struct(d2_of(r).alias("d2"),
+                 F.lit(int(r["vec_id"])).cast("long").alias("cent_id"))
+        for r in cent_rows
+    ]))
+    asg = emb.withColumn("cent_id", ranked[0]["cent_id"])
     probes = (
         emb.filter(F.col("vec_id") < 8)
-        .crossJoin(F.broadcast(cent))
-        .withColumn("d2", dist2(F.col("e"), F.col("n2")))
-        .withColumn("rn", F.row_number().over(
-            Window.partitionBy("vec_id").orderBy("d2", "cent_id")))
-        .filter(F.col("rn") <= 2)
         .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
-                F.col("n2").alias("qn2"), "cent_id")
+                F.col("n2").alias("qn2"),
+                F.explode(F.slice(ranked, 1, 2)).alias("p"))
+        .select("q_id", "qe", "qn2", F.col("p.cent_id").alias("cent_id"))
     )
     cand = asg.join(F.broadcast(probes), "cent_id").filter(
         F.col("vec_id") != F.col("q_id"))

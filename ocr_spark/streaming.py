@@ -309,7 +309,10 @@ def run_assemble_stream(
     data loss.  A non-zero count is legitimate mid-pipeline (more
     drop-files are coming); at end-of-input it means the producer must
     emit markers (``with_eoc_markers``) or the deployment needs the
-    idle-timeout flush on a continuous trigger."""
+    idle-timeout flush on a continuous trigger.  Returns -1 (with a
+    distinct RuntimeWarning) if the state-store readback itself fails
+    for any reason other than the documented empty-input case — the
+    pending count is then UNKNOWN, not zero."""
     import warnings
 
     extracted = stream_assemble_extract(
@@ -327,11 +330,25 @@ def run_assemble_stream(
     q.awaitTermination()
     try:
         pending = spark.read.format("statestore").load(ckpt).count()
-    except Exception:
-        # STDS_COMMITTED_BATCH_UNAVAILABLE: the drain committed no
-        # micro-batch at all (empty input directory) — nothing can be
-        # buffered, so there is nothing to warn about
-        pending = 0
+    except Exception as exc:  # noqa: BLE001 — narrowed by message below
+        # Only the documented no-committed-batch case may be silenced
+        # (empty input directory → nothing can be buffered).  Any OTHER
+        # readback failure must not silently disable the data-loss
+        # warning this readback exists to provide (ADVICE r3).
+        msg = f"{type(exc).__name__}: {exc}"
+        if "STDS_COMMITTED_BATCH_UNAVAILABLE" in msg or (
+            "CANNOT_LOAD_STATE_STORE" in msg and "empty" in msg.lower()
+        ):
+            pending = 0
+        else:
+            warnings.warn(
+                "run_assemble_stream: state-store readback failed for an "
+                f"unexpected reason — the pending-conversation data-loss "
+                f"check is UNAVAILABLE for this drain ({msg})",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return -1
     if pending:
         warnings.warn(
             f"run_assemble_stream: {pending} conversation(s) remain buffered "

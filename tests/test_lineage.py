@@ -141,3 +141,36 @@ def test_step_checkpoint_resume(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not committed"):
         resumed.load(300)
+
+
+def test_parquet_writer_seam_identical(spark, ckpt):
+    """The SnapshotWriter seam (ocr_spark/iceberg.py) must not change the
+    on-disk layout: data under data/bucket=<b>/ per committed bucket,
+    exactly one lineage parquet part-file under lineage/bucket=<b>/ —
+    the pre-seam CheckpointedExtraction contract, byte-layout pinned."""
+    from ocr_spark.iceberg import ParquetSnapshotWriter
+
+    assert isinstance(ckpt.writer, ParquetSnapshotWriter)  # the default
+    ckpt.run()
+    for b in range(N_BUCKETS):
+        ddir = os.path.join(ckpt.output_dir, "data", f"bucket={b}")
+        ldir = os.path.join(ckpt.output_dir, "lineage", f"bucket={b}")
+        assert os.path.exists(os.path.join(ddir, "_SUCCESS"))
+        parts = [f for f in os.listdir(ldir) if f.startswith("part-")]
+        assert len(parts) == 1, f"lineage bucket={b} must be one part-file"
+    # consumers route through the writer and see the same manifest-filtered view
+    m = read_manifest(ckpt.output_dir)
+    direct = spark.read.parquet(
+        *[os.path.join(ckpt.output_dir, "data", f"bucket={b}") for b in m["committed"]]
+    )
+    assert _rows(ckpt.read_output()) == _rows(direct)
+
+
+def test_iceberg_writer_import_guarded(spark):
+    """IcebergSnapshotWriter must fail fast (constructor, not mid-commit)
+    when the iceberg-spark runtime jar is absent — as in this sandbox."""
+    from ocr_spark.iceberg import IcebergSnapshotWriter, iceberg_runtime_available
+
+    assert not iceberg_runtime_available(spark)  # sandbox has no jar
+    with pytest.raises(RuntimeError, match="iceberg-spark runtime"):
+        IcebergSnapshotWriter(spark, "cat.db.data", "cat.db.lineage")

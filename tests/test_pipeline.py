@@ -204,3 +204,46 @@ def test_salted_repartition_spreads_giant_conversations(spark):
         for r in classify_turns(salted).collect()
     )
     assert plain == over_salted
+
+
+def test_giant_conversation_reroute(spark):
+    """Render-path skew guard (VERDICT r3 #2, north_rule long-conv skew):
+    a 10^5-turn conversation never reaches collect_list assembly — the
+    pre-pass routes it to the per-turn mirror — and the guarded output
+    is row-identical to the unguarded render path across every branch
+    (direction / distance / answer / fallback / vocab spans)."""
+    from ocr_spark.pipeline import extract_conversations, oversized_conv_ids
+
+    t = transcripts(spark, 60, seed=7).select("conv_id", "turn_idx", "role", "text")
+    i = F.col("id")
+    payload = (
+        F.when(i % 7 == 0, F.concat(F.lit("Paris is North of City 50337, turn "),
+                                    i.cast("string")))
+        .when(i % 7 == 1, F.concat((i % 90 * 100).cast("string"), F.lit(" km")))
+        .when(i % 7 == 2, F.lit("the best option is B"))
+        .when(i % 7 == 3, F.lit("from functions import couhpa\nx = couhpa(3)"))
+        .when(i % 7 == 4, F.lit("i am not sure"))
+        .otherwise(F.concat(F.lit("plain turn payload "), i.cast("string")))
+    )
+    big = spark.range(100_000).select(
+        F.lit("convgiant0").alias("conv_id"),
+        i.cast("int").alias("turn_idx"),
+        F.when(i == 0, F.lit("system"))
+        .when(i % 2 == 1, F.lit("user"))
+        .otherwise(F.lit("assistant")).alias("role"),
+        payload.alias("text"),
+    )
+    allt = t.unionByName(big)
+
+    # the conv_id-only pre-pass finds exactly the giant conversation
+    over = {r["conv_id"] for r in
+            oversized_conv_ids(allt, max_turns=1000).collect()}
+    assert over == {"convgiant0"}
+
+    # the guarded run COMPLETING proves the reroute held: the kernel
+    # hard-fails on any >cap conversation that reaches assembly
+    guarded = extract_conversations(allt, max_turns=1000)
+    ref = extract_conversations(allt, max_turns=None)
+    assert guarded.count() == allt.count()
+    assert guarded.exceptAll(ref).count() == 0
+    assert ref.exceptAll(guarded).count() == 0

@@ -45,14 +45,35 @@ def test_rendered_mt_is_single_shuffle(spark):
 
 
 def test_flagship_pipeline_is_single_shuffle(spark):
-    """extract_conversations: one conv_id shuffle feeding one Arrow
-    mapInPandas — the north_rule hot-loop shape."""
+    """extract_conversations (reroute guard off): one conv_id shuffle
+    feeding one Arrow mapInPandas — the north_rule hot-loop shape."""
+    from ocr_spark.pipeline import extract_conversations
+    from ocr_spark.synth import transcripts
+
+    plan = _plan(
+        extract_conversations(transcripts(spark, 50, seed=42), max_turns=None)
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "MapInPandas" in plan
+
+
+def test_flagship_guard_adds_only_broadcast_joins(spark):
+    """extract_conversations with the default oversized-conversation
+    guard (round 4): the turn table is still shuffled ONCE (the
+    collect_list groupBy) — the pre-pass count aggregate shuffles only
+    (conv_id, partial count) rows, and both reroute joins come in as
+    broadcasts, never a second shuffle of the turns."""
     from ocr_spark.pipeline import extract_conversations
     from ocr_spark.synth import transcripts
 
     plan = _plan(extract_conversations(transcripts(spark, 50, seed=42)))
-    assert plan.count("Exchange hashpartitioning") == 1
     assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # anti (regular side) + semi (routed side), both broadcast
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("LeftAnti") == 1 and plan.count("LeftSemi") == 1
+    # pre-pass is map-side partial: partial_count below the exchange
+    assert "partial_count" in plan
 
 
 def test_batch_packing_prefix_sum_is_bucketed(spark):
@@ -126,3 +147,75 @@ def test_scan_prunes_columns(spark):
     docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
     plan = _plan(docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"))
     assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def _final_plan(df) -> str:
+    """Execute, then return ONLY the AQE final-plan section.
+
+    Exchange reuse is an AQE runtime decision (stages with equal
+    canonical forms are shared as they materialize), so it is invisible
+    in the pre-execution plan — these guards collect() first and slice
+    off the "Initial Plan" echo that explain() appends below the final.
+    """
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    return plan.split("== Initial Plan ==")[0]
+
+
+def _real_exchanges(final_plan: str, key: str) -> int:
+    """Count REAL shuffle exchanges on ``key`` in a final-plan section.
+
+    A ``ReusedExchange`` node echoes the full description of the
+    exchange it references in its own argument line, so a plain
+    substring count over the plan text double-counts every reuse —
+    count only lines that are not reuse references.
+    """
+    return sum(
+        1
+        for line in final_plan.splitlines()
+        if f"Exchange hashpartitioning({key}#" in line
+        and "ReusedExchange" not in line
+    )
+
+
+def test_ngram_jaccard_shuffles_shingles_once(spark):
+    """dedup_ngram_jaccard: the exploded shingle set is shuffled ONCE —
+    the df-cap window's hashpartitioning(sh) exchange is reused by the
+    candidate self-join's build side and the doc-size aggregate instead
+    of re-exploding and re-shuffling the shingle rows (the one-shuffle
+    claim BENCH.md's 6.5s->2.6s number rests on)."""
+    p = _final_plan(QUERIES["dedup_ngram_jaccard"](spark, SF_DIR_ORACLE))
+    assert _real_exchanges(p, "sh") == 1
+    assert p.count("ReusedExchange") >= 2  # b-side shingles + sizes
+
+
+def test_minhash_jaccard_est_shares_signature_subtree(spark):
+    """minhash_jaccard_est: ONE shingle scan + ONE signature aggregation
+    serve all four consumers (pair a/b sides, sig a/b sides) — the
+    shared subtree appears once as a real exchange, three times as
+    ReusedExchange, so the estimate never re-touches the corpus text."""
+    p = _final_plan(QUERIES["minhash_jaccard_est"](spark, SF_DIR_ORACLE))
+    assert p.count("Generate explode") == 1  # one shingle scan
+    assert _real_exchanges(p, "doc_id") == 1
+    assert p.count("ReusedExchange") == 3
+
+
+def test_ann_ivf_probe_assignment_is_map_only(spark):
+    """ann_ivf_probe (round 4): nearest-centroid assignment must be a
+    native argmin expression over the driver-materialized codebook —
+    no crossJoin, no per-vec_id window, no shuffle of the corpus.  The
+    single allowed exchange is the candidate-sized top-k on q_id."""
+    import re
+
+    p = _final_plan(QUERIES["ann_ivf_probe"](spark, SF_DIR_ORACLE))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    keys = {
+        m.group(1)
+        for line in p.splitlines()
+        if "ReusedExchange" not in line
+        for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", line)
+    }
+    assert keys == {"q_id"}, keys
+    assert "BroadcastHashJoin" in p  # probes join corpus lists by cent_id
