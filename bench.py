@@ -179,6 +179,88 @@ def _spawn_throughput(cpus: int, data_dir: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# adversarial-diameter connected components (VERDICT r3 #7)
+# ---------------------------------------------------------------------------
+
+def bench_cc_star_chain(spark, n_edges: int = 10_000) -> dict:
+    """Prove the O(log n) star-contraction claim with a measured number.
+
+    A chain 0-1-2-...-n is the adversarial input for label propagation:
+    component diameter == corpus size, so the min-label loop needs
+    ~n rounds while large-star/small-star contraction needs O(log n).
+    Runs :func:`connected_components_star` on a 10^4-edge chain and
+    reports the measured round count (the loop's own max_rounds=24
+    would raise if contraction were not logarithmic) plus a correctness
+    certificate: every node must land in cluster 0.
+    """
+    from pyspark.sql import functions as F
+
+    from ocr_spark.queries.pipeline_ops import connected_components_star
+
+    edges = spark.range(n_edges).selectExpr("id AS s", "id + 1 AS d")
+    stats: dict = {}
+    t0 = time.time()
+    labels = connected_components_star(edges, stats=stats)
+    row = labels.agg(
+        F.count("*").alias("n"), F.max("cluster_id").alias("mx")
+    ).collect()[0]
+    sec = round(time.time() - t0, 3)
+    assert row["n"] == n_edges + 1 and row["mx"] == 0, (
+        f"chain CC wrong: {row['n']} nodes, max label {row['mx']}"
+    )
+    return {"chain_edges": n_edges, "rounds": stats["rounds"],
+            "min_label_rounds_needed": n_edges, "sec": sec}
+
+
+# ---------------------------------------------------------------------------
+# streaming assembler throughput (VERDICT r3 #8)
+# ---------------------------------------------------------------------------
+
+def bench_stream_assemble(spark, n_convs: int = 20_000, n_files: int = 16,
+                          files_per_batch: int = 4) -> dict:
+    """Sustained turns/s through the stateful conversation assembler.
+
+    The assembler (applyInPandasWithState, EOC-marker-gated) is
+    correctness-tested on small splits; this measures its state-store
+    cost at bench scale: the synthetic corpus + markers is dropped as
+    ``n_files`` JSONL files and drained with availableNow at
+    ``files_per_batch`` per micro-batch, so conversations genuinely
+    cross state-store boundaries across ~n_files/files_per_batch
+    micro-batches.  Reported turns/s EXCLUDES the marker control rows.
+    """
+    from ocr_spark.streaming import run_assemble_stream, with_eoc_markers
+    from ocr_spark.synth import transcripts
+
+    tmp = tempfile.mkdtemp(
+        prefix="ocr_bench_stream_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    inp = os.path.join(tmp, "in")
+    out = os.path.join(tmp, "out")
+    try:
+        t = transcripts(spark, n_convs)
+        n_turns = t.count()
+        # parquet drop files: keeps source parsing out of the number —
+        # this section measures the STATE-STORE + assembly cost
+        with_eoc_markers(t).repartition(n_files).write.mode(
+            "overwrite").parquet(inp)
+        t0 = time.time()
+        pending = run_assemble_stream(spark, inp, out,
+                                      max_files=files_per_batch, fmt="parquet")
+        sec = round(time.time() - t0, 3)
+        out_rows = spark.read.parquet(os.path.join(out, "data")).count()
+        assert out_rows == n_turns and pending == 0, (
+            f"stream drain incomplete: {out_rows}/{n_turns} rows, "
+            f"{pending} conversations still buffered"
+        )
+        return {"convs": n_convs, "turns": n_turns, "sec": sec,
+                "turns_per_sec": round(n_turns / sec, 1),
+                "micro_batches": n_files // files_per_batch}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # main bench
 # ---------------------------------------------------------------------------
 
@@ -225,6 +307,13 @@ def main() -> None:
             dt = time.time() - t0
             query_secs[name] = round(dt, 3)
             total += dt
+
+    # -- section 1b: star-CC adversarial chain + streaming assembler ----
+    cc_star = None
+    stream_tp = None
+    if not args.skip_queries:
+        cc_star = bench_cc_star_chain(spark)
+        stream_tp = bench_stream_assemble(spark)
 
     # -- section 2+3: synth transcripts, throughput, scaling ------------
     tmp = tempfile.mkdtemp(
@@ -283,6 +372,8 @@ def main() -> None:
             "sf": _sf_of(sf_dir),
             "throughput": tp_4n,
             "scaling": scaling,
+            "cc_star_chain": cc_star,
+            "stream_assemble": stream_tp,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

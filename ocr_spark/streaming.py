@@ -151,6 +151,14 @@ _ASSEMBLE_STATE_SCHEMA = (
     "turn_idxs array<int>, roles array<string>, texts array<string>, n_expected int"
 )
 
+#: Output of the stateful assembly stage: one row per COMPLETED
+#: conversation, same parallel-array layout as pipeline.conversations,
+#: consumed by the stateless extraction mapInPandas that follows it.
+_ASSEMBLED_CONV_SCHEMA = (
+    "conv_id string, turn_idxs array<int>, roles array<string>, "
+    "texts array<string>"
+)
+
 #: Role of the explicit end-of-conversation marker row.  The producer
 #: emits one marker per conversation when it closes it, with
 #: ``turn_idx`` = the total number of real turns; the marker is a
@@ -224,28 +232,34 @@ def stream_assemble_extract(
 
     vocab = list(vocab or DEFAULT_VOCAB)
 
+    # The stateful operator ONLY assembles: it emits one row of
+    # parallel turn arrays per completed conversation.  Extraction runs
+    # downstream in a stateless mapInPandas, where Arrow re-batches
+    # many conversations per kernel call — applyInPandasWithState
+    # invokes its function once per GROUP, so running the kernel inside
+    # it would pay per-conversation kernel setup (measured ~10x slower
+    # at bench scale, round 4); this split restores the batch
+    # pipeline's kernel batching bit-identically.
     def assemble(key, pdfs, state: "GroupState"):
         import pandas as pd
 
         (conv_id,) = key
 
-        def flush(turn_idxs, roles, texts):
+        def conv_row(turn_idxs, roles, texts):
             order = sorted(range(len(turn_idxs)), key=lambda i: turn_idxs[i])
-            conv = pd.DataFrame(
+            return iter([pd.DataFrame(
                 {
                     "conv_id": [conv_id],
                     "turn_idxs": [[turn_idxs[i] for i in order]],
                     "roles": [[roles[i] for i in order]],
                     "texts": [[texts[i] for i in order]],
                 }
-            )
-            yield from _extract_batches(iter([conv]), vocab)
+            )])
 
         if state.hasTimedOut:
             turn_idxs, roles, texts, _ = state.get
             state.remove()
-            yield from flush(list(turn_idxs), list(roles), list(texts))
-            return
+            return conv_row(list(turn_idxs), list(roles), list(texts))
 
         turn_idxs, roles, texts, n_expected = (
             ([*state.get[0]], [*state.get[1]], [*state.get[2]], state.get[3])
@@ -262,19 +276,18 @@ def stream_assemble_extract(
                     texts.append(tx)
         if n_expected >= 0 and len(turn_idxs) >= n_expected:
             state.remove()
-            yield from flush(turn_idxs, roles, texts)
-        else:
-            state.update((turn_idxs, roles, texts, n_expected))
-            if idle_timeout_ms is not None:
-                state.setTimeoutDuration(idle_timeout_ms)
-            return
+            return conv_row(turn_idxs, roles, texts)
+        state.update((turn_idxs, roles, texts, n_expected))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        return iter([])
 
-    return (
+    assembled = (
         stream.select("conv_id", "turn_idx", "role", "text")
         .groupBy("conv_id")
         .applyInPandasWithState(
             assemble,
-            outputStructType=EXTRACT_SCHEMA,
+            outputStructType=_ASSEMBLED_CONV_SCHEMA,
             stateStructType=_ASSEMBLE_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=(
@@ -284,6 +297,9 @@ def stream_assemble_extract(
             ),
         )
     )
+    return assembled.mapInPandas(
+        lambda it: _extract_batches(it, vocab), schema=EXTRACT_SCHEMA
+    )
 
 
 def run_assemble_stream(
@@ -292,6 +308,7 @@ def run_assemble_stream(
     output_dir: str,
     vocab=None,
     max_files: int = 1,
+    fmt: str = "json",
 ):
     """Drain a turn-file drop directory through the stateful
     conversation assembler into parquet (one file per micro-batch via
@@ -316,7 +333,8 @@ def run_assemble_stream(
     import warnings
 
     extracted = stream_assemble_extract(
-        read_transcript_stream(spark, input_dir, max_files=max_files), vocab
+        read_transcript_stream(spark, input_dir, fmt=fmt, max_files=max_files),
+        vocab,
     )
     ckpt = os.path.join(output_dir, "_checkpoint")
     q = (
