@@ -57,23 +57,38 @@ def test_flagship_pipeline_is_single_shuffle(spark):
     assert "MapInPandas" in plan
 
 
-def test_flagship_guard_adds_only_broadcast_joins(spark):
-    """extract_conversations with the default oversized-conversation
-    guard (round 4): the turn table is still shuffled ONCE (the
-    collect_list groupBy) — the pre-pass count aggregate shuffles only
-    (conv_id, partial count) rows, and both reroute joins come in as
-    broadcasts, never a second shuffle of the turns."""
+def test_flagship_guard_resolves_to_cheapest_plan(spark):
+    """extract_conversations' oversized-conversation guard (round 4)
+    resolves via a bounded driver collect into one of three plans, each
+    pinned here: (a) no oversized conversations -> the plain
+    single-shuffle render plan, zero join/filter overhead; (b) a few ->
+    two scan-level isin filters, still no joins; (c) more than the
+    isin cap -> broadcast anti/semi joins, never a second shuffle of
+    the turn table."""
     from ocr_spark.pipeline import extract_conversations
     from ocr_spark.synth import transcripts
 
-    plan = _plan(extract_conversations(transcripts(spark, 50, seed=42)))
-    assert "MapInPandas" in plan
+    t = transcripts(spark, 50, seed=42)
+
+    # (a) clean corpus: identical shape to the unguarded plan
+    plan = _plan(extract_conversations(t))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "MapInPandas" in plan
+
+    # (b) some oversized (cap forced low): isin filters, no joins
+    plan = _plan(extract_conversations(t, max_turns=5))
+    assert "Join" not in plan
+    assert plan.count("MapInPandas") >= 1  # render branch
+    assert "Union" in plan  # + per-turn branch
+    # membership filter on the routed ids (Catalyst rewrites a 1-item
+    # isin to an equality predicate, so accept either spelling)
+    assert "Filter" in plan and "conv00000029" in plan
+
+    # (c) more oversized than the isin cap: broadcast anti/semi joins
+    plan = _plan(extract_conversations(t, max_turns=5, routed_isin_cap=0))
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    # anti (regular side) + semi (routed side), both broadcast
     assert "BroadcastHashJoin" in plan
     assert plan.count("LeftAnti") == 1 and plan.count("LeftSemi") == 1
-    # pre-pass is map-side partial: partial_count below the exchange
-    assert "partial_count" in plan
 
 
 def test_batch_packing_prefix_sum_is_bucketed(spark):
