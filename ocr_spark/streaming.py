@@ -302,6 +302,16 @@ def stream_assemble_extract(
     )
 
 
+#: Spark's on-heap default state store.  At 10^12-turn scale the
+#: assembler's state (all IN-FLIGHT conversations' buffered turns) can
+#: exceed executor heap during a backlog catch-up; RocksDB keeps state
+#: on local disk with a block cache instead.  Class is bundled with
+#: Spark 4.x — no extra jar.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def run_assemble_stream(
     spark: SparkSession,
     input_dir: str,
@@ -309,6 +319,7 @@ def run_assemble_stream(
     vocab=None,
     max_files: int = 1,
     fmt: str = "json",
+    rocksdb: bool = False,
 ):
     """Drain a turn-file drop directory through the stateful
     conversation assembler into parquet (one file per micro-batch via
@@ -337,14 +348,31 @@ def run_assemble_stream(
         vocab,
     )
     ckpt = os.path.join(output_dir, "_checkpoint")
-    q = (
-        extracted.writeStream.format("parquet")
-        .option("path", os.path.join(output_dir, "data"))
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # ``rocksdb=True`` selects the disk-backed state store for this
+    # query (the 10^12-turn deployment default; see ROCKSDB_PROVIDER).
+    # The provider is a session conf captured at query START and then
+    # pinned by the checkpoint, so set-and-restore around .start() is
+    # race-free for this query and side-effect-free for later ones;
+    # resuming an existing checkpoint keeps ITS provider regardless.
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    if rocksdb:
+        spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+    try:
+        q = (
+            extracted.writeStream.format("parquet")
+            .option("path", os.path.join(output_dir, "data"))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if rocksdb:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
     q.awaitTermination()
     try:
         pending = spark.read.format("statestore").load(ckpt).count()

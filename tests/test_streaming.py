@@ -395,3 +395,42 @@ def test_windowed_aggregation_with_watermark(spark, dirs, tmp_path):
     )
     assert got == want
     assert len({w for (w, _, _, _) in got}) == 3  # three event-time hours
+
+
+def test_stateful_assembly_rocksdb_store_matches_default(spark, dirs, tmp_path):
+    """rocksdb=True must be a pure storage swap: same assembled output
+    as the default (on-heap) state store across the same multi-file
+    drain, and the pending-state readback still reports 0.  The
+    provider conf is set-and-restored around query start, so the
+    session conf is left untouched afterward."""
+    from ocr_spark.streaming import ROCKSDB_PROVIDER, run_assemble_stream
+
+    inp, out = dirs
+    rows = [t for i in range(12) for t in _turns(f"r{i:02d}", i % 3)]
+    # split turns and markers across files so state genuinely persists
+    # between micro-batches inside RocksDB
+    _write_jsonl(os.path.join(inp, "a.jsonl"), rows[::2])
+    _write_jsonl(os.path.join(inp, "b.jsonl"), rows[1::2])
+    _write_jsonl(os.path.join(inp, "c.jsonl"),
+                 [_eoc(f"r{i:02d}", 2) for i in range(12)])
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(conf_key, None)
+    pending = run_assemble_stream(spark, inp, out, max_files=1, rocksdb=True)
+    assert pending == 0
+    assert spark.conf.get(conf_key, None) == before
+
+    # the checkpoint metadata proves RocksDB actually ran the query
+    import glob
+    meta = ""
+    for f in glob.glob(os.path.join(out, "_checkpoint", "offsets", "*")):
+        meta += open(f).read()
+    assert "RocksDBStateStoreProvider" in meta
+
+    out2 = str(tmp_path / "out_default")
+    run_assemble_stream(spark, inp, out2, max_files=1)
+    key = lambda r: (r["conv_id"], r["turn_idx"], r["clean_text"],
+                     r["block_class"], r["answer"], r["status"], r["n_tokens"])
+    a = sorted(map(key, spark.read.parquet(os.path.join(out, "data")).collect()))
+    b = sorted(map(key, spark.read.parquet(os.path.join(out2, "data")).collect()))
+    assert a == b and len(a) == len(rows)
