@@ -1,0 +1,332 @@
+"""Span-level n-gram operators: duplicate-span profiling, eval-set
+contamination, boilerplate mining, winnowing fingerprints.
+
+Round-4 additions beyond the document-level dedup family in
+``pipeline_ops.py``: a 100 TB training-data pipeline needs to know not
+just *which documents* are near-duplicates but *which spans inside
+them* are duplicated (Lee et al. 2022, "Deduplicating Training Data
+Makes Language Models Better"), whether the corpus is contaminated
+with eval-set n-grams (the standard benchmark-decontamination pass),
+what the most frequent n-grams are (boilerplate mining), and a
+selective document fingerprint (Schleimer et al. SIGMOD 2003
+winnowing, the MOSS algorithm) whose guarantee — every shared
+substring of length >= w+k-1 words produces at least one shared
+fingerprint — makes it the classic scalable substring-dedup primitive.
+
+Scale shapes (100 TB):
+
+- ``dedup_span_ngram``: one shuffle of the window set (the
+  min-vs-max-over-window trick detects ">= 2 distinct docs" without a
+  count-distinct or a join-back, and its hashpartitioning(win) is the
+  only exchange before the per-doc reaggregation);
+- ``contamination_check``: the eval n-gram set is tiny by construction
+  — it is BROADCAST into the train-side scan twice (semi-join filter,
+  then hit-set lookup), so the only shuffled rows are train grams that
+  actually match an eval gram (bounded by the eval set x occurrence
+  counts, with map-side partial dedup);
+- ``topk_ngrams``: partial map-side counts + TakeOrderedAndProject —
+  the canonical top-k plan, no full sort;
+- ``winnowing_fingerprint``: windowed min per doc — partitions by
+  doc_id, so skew follows document length; documents are bounded
+  (they are conversation turns / pages, not whole crawls), and the
+  pos encoding caps at 2^20 grams (~1M words) per doc, asserted below.
+
+All four are oracle-checked against DuckDB with exact integer
+arithmetic (the ratio columns divide two exact BIGINTs, identical
+IEEE doubles in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ocr_spark.queries.catalog import _register, _t
+from ocr_spark.queries.pipeline_ops import (
+    _GRAMS_EXPR,
+    _SQL_SHINGLES,
+    shingles,
+    sql_str_hash,
+    str_hash,
+)
+
+# ---------------------------------------------------------------------------
+# span-duplicate profile: k-word windows at a stride
+# ---------------------------------------------------------------------------
+
+#: window size / stride for the span detector.  k=4 keeps windows long
+#: enough to be meaningful spans but short enough that the synthetic
+#: corpus (and any natural-language corpus) actually repeats them.
+SPAN_K = 4
+SPAN_STRIDE = 2
+
+# Strided k-word windows.  The CASE guard mirrors _GRAMS_EXPR: Spark's
+# sequence(1, 0) auto-steps DOWN while DuckDB's generate_series(1, 0)
+# is empty — the guard makes short docs drop identically.
+_WIN_EXPR = (
+    f"CASE WHEN size(split(text, ' ')) >= {SPAN_K}"
+    f" THEN transform(sequence(1, size(split(text, ' ')) - {SPAN_K - 1}, {SPAN_STRIDE}),"
+    f"      i -> array_join(slice(split(text, ' '), i, {SPAN_K}), ' '))"
+    " ELSE array() END"
+)
+
+
+@_register(
+    "dedup_span_ngram",
+    f"""
+WITH wins AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + {SPAN_K - 1}), ' ') AS win
+  FROM (
+    SELECT doc_id, w,
+           unnest(generate_series(1, greatest(len(w) - {SPAN_K - 1}, 0), {SPAN_STRIDE})) AS i
+    FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents)
+  )
+),
+flagged AS (
+  SELECT doc_id,
+         CASE WHEN min(doc_id) OVER (PARTITION BY win)
+                   <> max(doc_id) OVER (PARTITION BY win)
+              THEN 1 ELSE 0 END AS dup
+  FROM wins
+)
+SELECT doc_id,
+       count(*) AS n_windows,
+       CAST(sum(dup) AS BIGINT) AS n_dup,
+       CAST(sum(dup) AS BIGINT) / count(*) AS dup_ratio
+FROM flagged GROUP BY doc_id
+""",
+)
+def dedup_span_ngram(spark, sf_dir):
+    """Span-level duplicate profile (Lee et al. 2022 style, word-window
+    approximation): slide a SPAN_K-word window at SPAN_STRIDE through
+    every document and flag windows whose text occurs in >= 2 DISTINCT
+    documents; report per-doc window/duplicate counts and the dup ratio.
+
+    ">= 2 distinct docs" is detected as ``min(doc_id) != max(doc_id)``
+    over a window partitioned by the span text — no count-distinct, no
+    groupBy+join-back, and the win-hash exchange is the single shuffle
+    of the window set.  A window repeated only WITHIN one doc is not a
+    duplicate (self-repetition is ``text_repetition``'s job).  Docs
+    shorter than SPAN_K words produce no windows and are absent.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    wins = docs.select("doc_id", F.explode(F.expr(_WIN_EXPR)).alias("win"))
+    byw = Window.partitionBy("win")
+    flagged = wins.withColumn(
+        "dup",
+        (F.min("doc_id").over(byw) != F.max("doc_id").over(byw)).cast("long"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.count("*").alias("n_windows"), F.sum("dup").alias("n_dup"))
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup",
+            (F.col("n_dup").cast("double") / F.col("n_windows")).alias("dup_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# eval-set contamination check
+# ---------------------------------------------------------------------------
+
+#: deterministic eval subset: doc_id % EVAL_MOD == 0 (a stand-in for
+#: "the benchmark docs" — 2% of the corpus).
+EVAL_MOD = 50
+
+
+@_register(
+    "contamination_check",
+    f"""
+WITH sh AS ({_SQL_SHINGLES}),
+ev AS (SELECT doc_id, sh FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+tr AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {EVAL_MOD} <> 0)
+SELECT ev.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN tr.sh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN tr.sh IS NULL THEN 0 ELSE 1 END) AS BIGINT) / count(*)
+           AS contamination
+FROM ev LEFT JOIN tr ON ev.sh = tr.sh
+GROUP BY ev.doc_id
+""",
+)
+def contamination_check(spark, sf_dir):
+    """Benchmark-decontamination pass: for each eval doc (doc_id %
+    EVAL_MOD == 0), the fraction of its distinct 3-gram shingles that
+    appear anywhere in the train split (the other docs).
+
+    Scale shape: the eval gram set is small by construction, so it is
+    broadcast INTO the train scan (left-semi) — the train side never
+    shuffles; only matching gram occurrences flow into the distinct
+    (map-side partial dedup, result bounded by the eval set), and the
+    matched set is broadcast back for the per-eval-doc rollup.  This is
+    the standard production layout (broadcast eval n-grams / Bloom
+    filter over the crawl scan).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sh_all = shingles(docs)
+    ev = sh_all.filter(F.col("doc_id") % EVAL_MOD == 0)
+    tr = sh_all.filter(F.col("doc_id") % EVAL_MOD != 0).select("sh")
+    ev_grams = ev.select("sh").distinct()
+    matched = tr.join(F.broadcast(ev_grams), "sh", "left_semi").distinct()
+    return (
+        ev.join(F.broadcast(matched.withColumn("hit", F.lit(1))), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_grams")).alias("contamination"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate mining: corpus-wide top-k n-grams
+# ---------------------------------------------------------------------------
+
+TOPK_NGRAMS = 20
+
+
+@_register(
+    "topk_ngrams",
+    f"""
+WITH grams AS (
+  SELECT words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS sh
+  FROM (
+    SELECT words, unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i
+    FROM (SELECT str_split(text, ' ') AS words FROM documents)
+  )
+)
+SELECT sh, count(*) AS n
+FROM grams GROUP BY sh
+ORDER BY n DESC, sh
+LIMIT {TOPK_NGRAMS}
+""",
+)
+def topk_ngrams(spark, sf_dir):
+    """Corpus-wide most-frequent 3-grams (occurrence counts, NOT
+    per-doc distinct — boilerplate repeats within docs too).  The plan
+    is partial map-side counts + TakeOrderedAndProject: no full sort,
+    no driver collect of the gram set.  Ties are broken by gram text so
+    the top-k SET is deterministic in both engines.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(F.explode(F.expr(_GRAMS_EXPR)).alias("sh"))
+    return (
+        grams.groupBy("sh")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("sh"))
+        .limit(TOPK_NGRAMS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al. SIGMOD 2003, the MOSS
+# algorithm)
+# ---------------------------------------------------------------------------
+
+#: winnowing window: pick the min hash of every WINNOW_W consecutive
+#: 3-gram hashes.  Guarantee: any shared word-substring of length
+#: >= WINNOW_W + 3 - 1 = 6 words yields a shared fingerprint.
+WINNOW_W = 4
+#: per-doc gram-position cap baked into the comb encoding (2^20 grams
+#: ~ 1M words per document).
+_POS_CAP = 1 << 20
+_H40_MOD = 1 << 40
+
+# positioned 3-grams: array<struct<pos,sh>> with pos = 1-based start
+# word index (matches DuckDB's generate_series exactly).
+_POS_GRAMS_EXPR = (
+    "CASE WHEN size(split(text, ' ')) >= 3"
+    " THEN transform(sequence(1, size(split(text, ' ')) - 2),"
+    "      i -> named_struct('pos', i, 'sh',"
+    "           array_join(slice(split(text, ' '), i, 3), ' ')))"
+    " ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, sh: STRING>>) END"
+)
+
+
+@_register(
+    "winnowing_fingerprint",
+    f"""
+WITH g0 AS (
+  SELECT doc_id, i AS pos, words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS sh
+  FROM (
+    SELECT doc_id, words, unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i
+    FROM (SELECT doc_id, str_split(text, ' ') AS words FROM documents)
+  )
+),
+c AS (
+  SELECT doc_id, pos,
+         (({sql_str_hash('sh')}) % {_H40_MOD}) * {_POS_CAP}
+             + ({_POS_CAP - 1} - pos) AS comb,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM g0
+),
+m AS (
+  SELECT doc_id, pos, n,
+         min(comb) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS mc
+  FROM c
+)
+SELECT DISTINCT doc_id,
+       {_POS_CAP - 1} - (mc % {_POS_CAP}) AS fp_pos,
+       mc // {_POS_CAP} AS fp_hash
+FROM m WHERE pos <= n - {WINNOW_W - 1}
+""",
+)
+def winnowing_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints: hash every 3-gram, slide a
+    window of WINNOW_W consecutive hashes, keep the minimum of each
+    window (rightmost on ties — the paper's robust-winnowing rule),
+    dedup the picks.  Output is the fingerprint set (doc_id, fp_pos,
+    fp_hash) — expected density 2/(w+1) of the grams, and any 6-word
+    overlap between two docs is guaranteed to share a fingerprint.
+
+    The min-with-rightmost-tie pick is ONE windowed ``min`` over an
+    order-encoded composite ``comb = h40 * 2^20 + (2^20-1 - pos)``:
+    minimizing comb minimizes the 40-bit hash and, among equal hashes,
+    maximizes pos.  comb fits int64 (60 bits); pos is asserted under
+    the 2^20 cap.  Plan: one hashpartitioning(doc_id) exchange feeds
+    both the count and the ordered frame, then a distinct on the
+    (already doc-partitioned) picks.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.explode(F.expr(_POS_GRAMS_EXPR)).alias("pg")
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.sh").alias("sh"))
+    h40 = str_hash(F.col("sh")) % F.lit(_H40_MOD)
+    c = g.select(
+        "doc_id",
+        "pos",
+        (h40 * _POS_CAP + (F.lit(_POS_CAP - 1) - F.col("pos"))).alias("comb"),
+    )
+    # the encoding is only order-correct while pos < _POS_CAP
+    c = c.withColumn(
+        "comb",
+        F.when(F.col("pos") < _POS_CAP, F.col("comb")).otherwise(
+            F.raise_error(F.lit("winnowing: document exceeds 2^20 grams"))
+        ),
+    )
+    byd = Window.partitionBy("doc_id")
+    frame = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    )
+    m = c.withColumn("n", F.count("*").over(byd)).withColumn(
+        "mc", F.min("comb").over(frame)
+    )
+    return (
+        m.filter(F.col("pos") <= F.col("n") - (WINNOW_W - 1))
+        .select(
+            "doc_id",
+            (F.lit(_POS_CAP - 1) - F.col("mc") % _POS_CAP).alias("fp_pos"),
+            F.expr(f"mc div {_POS_CAP}").alias("fp_hash"),
+        )
+        .distinct()
+    )

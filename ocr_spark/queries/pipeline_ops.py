@@ -1441,6 +1441,17 @@ def ann_ivf_probe(spark, sf_dir):
         key=lambda r: r["vec_id"],
     )
     emb = emb.filter(F.col("n2") > 0)
+    if not cent_rows:
+        # tiny/edge corpora may lack the codebook ids entirely: an IVF
+        # index with zero centroids has no lists to probe — empty
+        # result, same schema (the oracle is empty identically), and
+        # the array_sort argmin expression below would not even
+        # type-check over an empty literal array.
+        return emb.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vec_id").alias("vec_id"),
+            F.lit(0.0).alias("cosine"),
+        ).filter(F.lit(False))
 
     def d2_of(r):
         ce = F.array(*[F.lit(int(v)) for v in r["e"]])

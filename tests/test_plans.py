@@ -234,3 +234,52 @@ def test_ann_ivf_probe_assignment_is_map_only(spark):
     }
     assert keys == {"q_id"}, keys
     assert "BroadcastHashJoin" in p  # probes join corpus lists by cent_id
+
+
+def test_topk_ngrams_is_partial_agg_plus_take_ordered(spark):
+    """topk_ngrams: map-side partial counts feed ONE exchange on the
+    gram key, and the top-k is TakeOrderedAndProject — never a global
+    Sort of the gram counts.  Scan reads only the text column."""
+    df = QUERIES["topk_ngrams"](spark, SF_DIR_ORACLE)
+    p = _plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in p
+    assert "Sort " not in p.split("TakeOrderedAndProject")[1].splitlines()[0]
+    assert "ReadSchema: struct<text:string>" in p
+
+
+def test_dedup_span_ngram_is_two_shuffles(spark):
+    """dedup_span_ngram: the window set shuffles exactly once (the
+    min/max-over-win duplicate flag) and the per-doc rollup once more
+    with a map-side partial agg — no count-distinct expansion, no
+    join-back of the window counts."""
+    p = _plan(QUERIES["dedup_span_ngram"](spark, SF_DIR_ORACLE))
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "Join" not in p
+    assert "partial_count" in p and "partial_sum" in p
+
+
+def test_winnowing_fingerprint_is_single_doc_exchange(spark):
+    """winnowing_fingerprint: ONE hashpartitioning(doc_id) exchange
+    serves the gram count, the ordered min-frame, and the fingerprint
+    distinct (doc_id is in the distinct key, so the final dedup reuses
+    the partitioning instead of adding a shuffle)."""
+    p = _plan(QUERIES["winnowing_fingerprint"](spark, SF_DIR_ORACLE))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in p
+
+
+def test_contamination_check_train_side_never_shuffles(spark):
+    """contamination_check: the train-corpus scan reaches its semi-join
+    with the broadcast eval-gram set with NO exchange on its path (the
+    production contract: at 100 TB only matched grams may shuffle).
+    Both eval joins are broadcast."""
+    p = _plan(QUERIES["contamination_check"](spark, SF_DIR_ORACLE))
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    # walk the tree text: the LeftSemi join's streamed (train) child
+    # block must contain no Exchange other than inside the broadcast
+    semi = p.split("BroadcastHashJoin")[1]
+    train_block = semi.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in train_block
