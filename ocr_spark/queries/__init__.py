@@ -26,13 +26,14 @@ import ocr_spark.queries.ngram_ops  # noqa: F401
 #    rewrite), pipeline_extract (render path gained the oversized-
 #    conversation reroute guard), dedup_clusters_star (exact
 #    convergence confirm), x12_char_suffix (zip-fold rewrite), plus
-#    the four NEW ngram_ops queries (dedup_span_ngram,
-#    contamination_check, topk_ngrams, winnowing_fingerprint),
+#    the five NEW queries (dedup_span_ngram, contamination_check,
+#    topk_ngrams, winnowing_fingerprint, dedup_incremental),
 # 2. queries whose latest driver row is r1/r2 (everything the r3
 #    window rotated out) — refresh their evidence.  To make room for
-#    the four new entries, the four most trivial r2-greens (j5_union,
-#    j7_dedup, a7_cumsum, w4_stride_sample) stay out-of-window this
-#    round; pytest oracle parity still checks them every run,
+#    the five new entries, the five most trivial r2-greens (j5_union,
+#    j7_dedup, a7_cumsum, w4_stride_sample, a6_rolling_mean) stay
+#    out-of-window this round; pytest oracle parity still checks them
+#    every run,
 # 3. high-value r3-green rows kept in-window per rule (a)'s spirit:
 #    the two former hash-FAILs and the token-contract anchors.
 # ---------------------------------------------------------------------------
@@ -42,14 +43,14 @@ _DRIVER_PRIORITY = [
     "w5_batch_pad", "ann_ivf_probe", "pipeline_extract",
     "dedup_clusters_star", "x12_char_suffix",
     "dedup_span_ngram", "contamination_check", "topk_ngrams",
-    "winnowing_fingerprint",
+    "winnowing_fingerprint", "dedup_incremental",
     # -- 2: latest driver evidence is r1/r2 (rotated out of r3's window) --
     "p1_turn_merge", "x3_render", "x4_marker_split", "x2_extract_answer",
     "x8_block_classify", "x1_parse_imports", "x6_span_count",
     "p4_substitute", "x9_regex_field", "p10_sanitize",
     "j1_broadcast_lookup", "j2_contains_join", "j4_cross_expand",
     "j6_anti_join", "a1_grouped_accuracy",
-    "a2_rollup", "a5_topk", "a5_topk_per_group", "a6_rolling_mean",
+    "a2_rollup", "a5_topk", "a5_topk_per_group",
     "a14_shift_compare", "w2_seeded_split", "x6_char_spans",
     "dedup_exact", "dedup_minhash_signatures",
     "stratified_sample", "ann_cosine_topk", "j8_pairwise_cosine",

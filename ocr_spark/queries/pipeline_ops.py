@@ -289,19 +289,87 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     return _lsh_pairs_from(_minhash_sigs(spark, sf_dir))
 
 
-def _lsh_pairs_from(sigs: DataFrame) -> DataFrame:
-    """Banded candidate pairs from a signature DataFrame.  Consumers
-    that also need the signatures themselves (minhash_jaccard_est)
-    pass the SAME DataFrame here so the signature subtree appears once
-    per plan and AQE's stage reuse avoids recomputing the shingle
-    scan + aggregation."""
-    buckets = sigs.groupBy("doc_id", (F.col("perm") / 2).cast("long").alias("band")).agg(
+#: incremental-dedup split: docs with doc_id >= INCR_SPLIT are "the
+#: newly-arrived batch", the rest are "the existing indexed corpus".
+INCR_SPLIT = 400
+
+
+@_register(
+    "dedup_incremental",
+    f"""
+WITH sigs AS ({_SQL_MINHASH_SIGS}),
+buckets AS (
+  SELECT doc_id, perm // 2 AS band,
+         CAST(max(CASE WHEN perm % 2 = 0 THEN minhash END) AS VARCHAR) || '_' ||
+         CAST(max(CASE WHEN perm % 2 = 1 THEN minhash END) AS VARCHAR) AS bucket
+  FROM sigs GROUP BY doc_id, perm // 2
+)
+SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                greatest(a.doc_id, b.doc_id) AS doc_b,
+                CAST(greatest(a.doc_id, b.doc_id) >= {INCR_SPLIT}
+                     AND least(a.doc_id, b.doc_id) >= {INCR_SPLIT} AS BOOLEAN)
+                    AS within_batch
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE a.doc_id >= {INCR_SPLIT} OR b.doc_id >= {INCR_SPLIT}
+""",
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental dedup: near-dup candidates for a NEWLY-ARRIVED batch
+    (doc_id >= INCR_SPLIT) against the already-indexed corpus plus
+    itself — the steady-state shape of a production dedup service,
+    where each ingest must be checked without re-pairing the existing
+    index against itself.
+
+    Scale shape: the new batch's band buckets are BROADCAST against the
+    full bucket store (in production the store side is the persisted
+    signature table, e.g. the Iceberg-backed index — here both sides
+    derive from one signature subtree, which AQE materializes once).
+    Join cost is O(|new| x bucket collisions); the old x old quadrant
+    is never generated, unlike a filter over the full pair join.
+    ``within_batch`` distinguishes new-new from new-old pairs (the
+    caller drops new docs that hit the index, and picks one survivor
+    per new-new cluster)."""
+    buckets = _buckets_from(_minhash_sigs(spark, sf_dir))
+    new = buckets.filter(F.col("doc_id") >= INCR_SPLIT)
+    a = buckets.alias("a")
+    n = new.alias("n")
+    return (
+        a.join(
+            F.broadcast(n),
+            (F.col("a.band") == F.col("n.band"))
+            & (F.col("a.bucket") == F.col("n.bucket"))
+            & (F.col("a.doc_id") != F.col("n.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("n.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("n.doc_id")).alias("doc_b"),
+            (F.least(F.col("a.doc_id"), F.col("n.doc_id")) >= INCR_SPLIT).alias(
+                "within_batch"
+            ),
+        )
+        .distinct()
+    )
+
+
+def _buckets_from(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH band buckets from a signature frame."""
+    return sigs.groupBy("doc_id", (F.col("perm") / 2).cast("long").alias("band")).agg(
         F.concat(
             F.max(F.when(F.col("perm") % 2 == 0, F.col("minhash"))).cast("string"),
             F.lit("_"),
             F.max(F.when(F.col("perm") % 2 == 1, F.col("minhash"))).cast("string"),
         ).alias("bucket")
     )
+
+
+def _lsh_pairs_from(sigs: DataFrame) -> DataFrame:
+    """Banded candidate pairs from a signature DataFrame.  Consumers
+    that also need the signatures themselves (minhash_jaccard_est)
+    pass the SAME DataFrame here so the signature subtree appears once
+    per plan and AQE's stage reuse avoids recomputing the shingle
+    scan + aggregation."""
+    buckets = _buckets_from(sigs)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

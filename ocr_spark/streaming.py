@@ -437,3 +437,65 @@ def stream_turn_rate(
             "role", "n_turns", "total_chars",
         )
     )
+
+
+def stream_dedup_exact(stream: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Streaming twin of the batch ``dedup_exact`` operator: emit each
+    distinct turn content exactly once across the whole stream.
+
+    The fingerprint is md5 over (role, text) — the same content
+    identity the batch operator groups on — and the dedup is Spark's
+    stateful streaming ``dropDuplicates``: the state store remembers
+    seen fingerprints across micro-batches AND across restarts (the
+    checkpoint carries the state), so a turn replayed in a later file
+    drop is suppressed, not re-emitted.
+
+    State growth is the operational contract: with ``watermark=None``
+    the seen-fingerprint set grows without bound (correct for bounded
+    backfills).  At 10^12-turn scale pass a watermark (e.g. ``"24
+    hours"``) to get ``dropDuplicatesWithinWatermark`` — duplicates
+    arriving within the horizon are suppressed, state older than the
+    horizon is dropped, which is the standard at-scale trade (crawl
+    re-fetches cluster in time).
+    """
+    fp = F.md5(F.concat_ws("\x1f", F.col("role"), F.col("text")))
+    out = stream.withColumn("fp", fp)
+    if watermark is not None:
+        return out.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["fp"])
+    return out.dropDuplicates(["fp"])
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    watermark: str | None = None,
+    max_files: int = 1,
+    fmt: str = "json",
+):
+    """Drain a turn drop directory through the streaming exact-dedup
+    into ``output_dir/data`` (append, one parquet dir per run), with
+    the state checkpoint under ``output_dir/_checkpoint`` so repeated
+    drains keep suppressing previously-seen content.  Returns the
+    number of rows emitted by THIS drain (not the cumulative total).
+    """
+    before = 0
+    data_dir = os.path.join(output_dir, "data")
+    try:
+        before = spark.read.parquet(data_dir).count()
+    except Exception:
+        pass  # first drain: no output yet
+    deduped = stream_dedup_exact(
+        read_transcript_stream(spark, input_dir, fmt=fmt, max_files=max_files),
+        watermark,
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", data_dir)
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(data_dir).count() - before

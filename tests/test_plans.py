@@ -283,3 +283,19 @@ def test_contamination_check_train_side_never_shuffles(spark):
     semi = p.split("BroadcastHashJoin")[1]
     train_block = semi.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in train_block
+
+
+def test_dedup_incremental_broadcasts_new_batch(spark):
+    """dedup_incremental: the new-batch bucket side is BROADCAST (the
+    old x old quadrant is never generated by a shuffle join), and the
+    new-batch filter is pushed BELOW the build side's signature
+    aggregation all the way into its scan — the new side's signatures
+    are computed from the new docs only (two small doc_id exchanges,
+    one per signature pipeline, is the intended shape: reusing the
+    full-store exchange would force the new side to aggregate the
+    whole corpus instead)."""
+    p = _final_plan(QUERIES["dedup_incremental"](spark, SF_DIR_ORACLE))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert _real_exchanges(p, "doc_id") == 2
+    assert "GreaterThanOrEqual(doc_id,400)" in p  # pushed to the scan

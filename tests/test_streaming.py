@@ -434,3 +434,33 @@ def test_stateful_assembly_rocksdb_store_matches_default(spark, dirs, tmp_path):
     a = sorted(map(key, spark.read.parquet(os.path.join(out, "data")).collect()))
     b = sorted(map(key, spark.read.parquet(os.path.join(out2, "data")).collect()))
     assert a == b and len(a) == len(rows)
+
+
+def test_stream_dedup_exact_across_batches_and_restarts(spark, dirs):
+    """Streaming exact-dedup: (a) duplicates WITHIN a micro-batch and
+    ACROSS micro-batches are suppressed, matching batch dedup_exact
+    semantics over the union; (b) a second drain (fresh query, same
+    checkpoint) still suppresses everything already seen — the
+    seen-fingerprint state survives restart."""
+    from ocr_spark.streaming import run_dedup_stream
+
+    inp, out = dirs
+    a = _turns("c0", 0) + _turns("c1", 0)            # c1 repeats c0's texts
+    b = _turns("c2", 1) + _turns("c3", 0)            # one new answer + repeats
+    _write_jsonl(os.path.join(inp, "a.jsonl"), a)
+    _write_jsonl(os.path.join(inp, "b.jsonl"), b)
+
+    emitted = run_dedup_stream(spark, inp, out, max_files=1)
+    got = spark.read.parquet(os.path.join(out, "data"))
+    distinct_texts = {(r["role"], r["text"]) for r in got.collect()}
+    want = {(r["role"], r["text"]) for r in map(dict, a + b)}
+    assert distinct_texts == want            # every distinct content once
+    assert emitted == got.count() == len(want)
+    assert got.groupBy("fp").count().filter(F.col("count") > 1).count() == 0
+
+    # restart: replay old content + one genuinely new turn
+    c = _turns("c4", 0) + _turns("c5", 2)
+    _write_jsonl(os.path.join(inp, "c.jsonl"), c)
+    emitted2 = run_dedup_stream(spark, inp, out, max_files=1)
+    assert emitted2 == 1                     # only the variant-2 answer is new
+    assert spark.read.parquet(os.path.join(out, "data")).count() == len(want) + 1
