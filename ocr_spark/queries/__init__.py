@@ -7,6 +7,7 @@ import ocr_spark.queries.multimodal  # noqa: F401
 import ocr_spark.queries.extraction_docs  # noqa: F401
 import ocr_spark.queries.multiturn  # noqa: F401
 import ocr_spark.queries.ngram_ops  # noqa: F401
+import ocr_spark.queries.agent_ops  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.  The driver's correctness gate checks the
@@ -26,8 +27,9 @@ import ocr_spark.queries.ngram_ops  # noqa: F401
 #    rewrite), pipeline_extract (render path gained the oversized-
 #    conversation reroute guard), dedup_clusters_star (exact
 #    convergence confirm), x12_char_suffix (zip-fold rewrite), plus
-#    the five NEW queries (dedup_span_ngram, contamination_check,
-#    topk_ngrams, winnowing_fingerprint, dedup_incremental),
+#    the eleven NEW queries (dedup_span_ngram, contamination_check,
+#    topk_ngrams, winnowing_fingerprint, dedup_incremental, and the
+#    six agent-family entries),
 # 2. queries whose latest driver row is r1/r2 (everything the r3
 #    window rotated out) — refresh their evidence.  To make room for
 #    the five new entries, the five most trivial r2-greens (j5_union,
@@ -44,6 +46,9 @@ _DRIVER_PRIORITY = [
     "dedup_clusters_star", "x12_char_suffix",
     "dedup_span_ngram", "contamination_check", "topk_ngrams",
     "winnowing_fingerprint", "dedup_incremental",
+    # the agent-transcript family (NEW this round: input_hint tool/ts)
+    "tool_call_stats", "tool_latency", "sessionize_gaps",
+    "asof_tool_join", "turn_rate_windows", "tool_transitions",
     # -- 2: latest driver evidence is r1/r2 (rotated out of r3's window) --
     "p1_turn_merge", "x3_render", "x4_marker_split", "x2_extract_answer",
     "x8_block_classify", "x1_parse_imports", "x6_span_count",
@@ -54,9 +59,11 @@ _DRIVER_PRIORITY = [
     "a14_shift_compare", "w2_seeded_split", "x6_char_spans",
     "dedup_exact", "dedup_minhash_signatures",
     "stratified_sample", "ann_cosine_topk", "j8_pairwise_cosine",
-    "a9_vector_mean", "text_quality", "lang_id", "token_count_ws",
-    "doc_fingerprint", "a4_ratio_of_sums", "a8_cumlogsum",
-    "a10_kl_divergence", "w6_interpolation_sweep",
+    "a9_vector_mean", "text_quality", "lang_id",
+    # (token_count_ws, doc_fingerprint, a4_ratio_of_sums, a8_cumlogsum,
+    #  a10_kl_divergence, w6_interpolation_sweep rotated out to make
+    #  room for the six new agent-family entries; pytest oracle parity
+    #  still checks them every run)
     # -- 3: kept in-window: former hash-FAILs + token-contract anchors ----
     "batch_packing", "text_repetition", "x13_token_count",
     "x5_token_split", "dedup_ngram_jaccard",

@@ -82,6 +82,101 @@ def _sql_assistant_text(id_expr: str = "doc_id") -> str:
     END"""
 
 
+#: Agent-column derivation (round 4): the input_hint schema carries
+#: ``tool:string`` and ``ts:timestamp`` — the agent-transcript operator
+#: family (queries/agent_ops.py) computes on them, so the derivation
+#: gains both columns, mirrored exactly in each engine:
+#:
+#:   ts_epoch(t=0) = 1704067200 + (doc_id % 86400)
+#:   gap_1         = 1 + ((doc_id + 1) % 7) * 300     (system -> user)
+#:   gap_2         = 1 + ((doc_id + 2) % 7) * 300     (user -> assistant)
+#:   tool(user)      = 'search'  iff doc_id % 5 = 0
+#:   tool(assistant) = 'python'  iff doc_id % 7 = 0
+#:                     'browser' iff doc_id % 7 = 1
+#:
+#: Gaps jump between 1 s and 30.1 min so the 15-minute sessionizer
+#: splits ~4/7 of turn boundaries; every value is plain BIGINT modular
+#: arithmetic, exact in both engines at any doc_id (the exotic-id edge
+#: suite runs these oracles at ids up to ~10^11).
+_AGENT_EPOCH = 1704067200  # 2024-01-01T00:00:00Z, matches synth._BASE_EPOCH
+
+_SQL_TS0 = f"{_AGENT_EPOCH} + (doc_id % 86400)"
+_SQL_GAP1 = "(1 + ((doc_id + 1) % 7) * 300)"
+_SQL_GAP2 = "(1 + ((doc_id + 2) % 7) * 300)"
+
+#: DuckDB CTE body producing the full input_hint shape
+#: (conv_id, turn_idx, role, text, tool, ts_epoch) — ts kept as epoch
+#: seconds (BIGINT) so cross-engine compares never touch timezone
+#: rendering; queries that need a real timestamp build it locally.
+AGENT_TRANSCRIPTS_CTE = f"""
+  SELECT 'conv' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+         0 AS turn_idx, 'system' AS role,
+         {_sql_quote(SYSTEM_PREAMBLE)} AS text,
+         CAST(NULL AS VARCHAR) AS tool,
+         CAST({_SQL_TS0} AS BIGINT) AS ts_epoch
+  FROM documents
+  UNION ALL
+  SELECT 'conv' || lpad(CAST(doc_id AS VARCHAR), 8, '0'),
+         1, 'user', {_sql_user_text()},
+         CASE WHEN doc_id % 5 = 0 THEN 'search' END,
+         CAST({_SQL_TS0} + {_SQL_GAP1} AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'conv' || lpad(CAST(doc_id AS VARCHAR), 8, '0'),
+         2, 'assistant', {_sql_assistant_text()},
+         CASE WHEN doc_id % 7 = 0 THEN 'python'
+              WHEN doc_id % 7 = 1 THEN 'browser' END,
+         CAST({_SQL_TS0} + {_SQL_GAP1} + {_SQL_GAP2} AS BIGINT)
+  FROM documents
+"""
+
+
+def with_agent_transcripts(sql: str) -> str:
+    """Wrap a query body with the agent-columned transcripts CTE."""
+    return f"WITH transcripts AS ({AGENT_TRANSCRIPTS_CTE})\n{sql}"
+
+
+def derived_agent_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of :data:`AGENT_TRANSCRIPTS_CTE`.
+
+    Same 3-turn shape and text payloads as :func:`derived_transcripts`
+    plus the input_hint agent columns: ``tool`` (sparse), ``ts_epoch``
+    (BIGINT seconds — the cross-engine compare unit) and ``ts`` (a real
+    TimestampType built from it, for event-time operators like
+    ``F.window``; never emitted in oracle-checked output).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    conv_id = F.concat(F.lit("conv"), F.lpad(d.cast("string"), 8, "0"))
+
+    ts0 = F.lit(_AGENT_EPOCH) + (d % 86400)
+    gap1 = F.lit(1) + ((d + 1) % 7) * 300
+    gap2 = F.lit(1) + ((d + 2) % 7) * 300
+    null_tool = F.lit(None).cast("string")
+
+    rows = [
+        (0, "system", F.lit(SYSTEM_PREAMBLE), null_tool, ts0),
+        (1, "user", spark_user_text(d),
+         F.when(d % 5 == 0, F.lit("search")), ts0 + gap1),
+        (2, "assistant", spark_assistant_text(d),
+         F.when(d % 7 == 0, F.lit("python")).when(d % 7 == 1, F.lit("browser")),
+         ts0 + gap1 + gap2),
+    ]
+    parts = [
+        docs.select(
+            conv_id.alias("conv_id"),
+            F.lit(idx).alias("turn_idx"),
+            F.lit(role).alias("role"),
+            text.alias("text"),
+            tool.alias("tool"),
+            ts.cast("long").alias("ts_epoch"),
+        )
+        for idx, role, text, tool, ts in rows
+    ]
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return out.withColumn("ts", F.timestamp_seconds(F.col("ts_epoch")))
+
+
 #: DuckDB CTE body producing (conv_id, turn_idx, role, text).
 TRANSCRIPTS_CTE = f"""
   SELECT 'conv' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,

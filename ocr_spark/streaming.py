@@ -439,6 +439,40 @@ def stream_turn_rate(
     )
 
 
+def stream_sessionize(
+    stream: DataFrame,
+    gap: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization — the §2.7 twin of the batch
+    ``sessionize_gaps`` operator (queries/agent_ops.py), using Spark's
+    native ``session_window``: a session per ``conv_id`` extends while
+    consecutive turns arrive within ``gap`` of each other and closes
+    once the watermark passes the session end (append mode emits each
+    session exactly once).
+
+    Boundary semantics vs the batch operator: ``session_window`` opens
+    a new session when the gap is >= ``gap``; the batch lag-formulation
+    splits when the gap is strictly > its threshold.  The two agree on
+    any input with no gap exactly equal to the threshold (the derived
+    corpus by construction; a pytest cross-pins them).
+
+    State is per-open-session per conv_id, dropped at finalization —
+    bounded by conversation concurrency, not stream length, so this
+    runs indefinitely at 10^12-turn scale."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("conv_id"))
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("sw.start").alias("sess_start"),
+            F.col("sw.end").alias("sess_end"),
+            "n_turns",
+        )
+    )
+
+
 def stream_dedup_exact(stream: DataFrame, watermark: str | None = None) -> DataFrame:
     """Streaming twin of the batch ``dedup_exact`` operator: emit each
     distinct turn content exactly once across the whole stream.

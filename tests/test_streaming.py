@@ -464,3 +464,64 @@ def test_stream_dedup_exact_across_batches_and_restarts(spark, dirs):
     emitted2 = run_dedup_stream(spark, inp, out, max_files=1)
     assert emitted2 == 1                     # only the variant-2 answer is new
     assert spark.read.parquet(os.path.join(out, "data")).count() == len(want) + 1
+
+
+def test_stream_sessionize_matches_batch_session_window(spark, dirs):
+    """Streaming session_window drain (append mode, availableNow) must
+    equal the same session_window aggregation computed in batch over
+    the same files — sessions split where turn gaps >= 15 min."""
+    from ocr_spark.streaming import (
+        TRANSCRIPT_SCHEMA,
+        read_transcript_stream,
+        stream_sessionize,
+    )
+
+    inp, _ = dirs
+    rows = []
+    for i in range(12):
+        # three turns: second 2 min after the first, third 40 min later
+        # -> two sessions per conversation (40 min >= 15 min gap)
+        two = _turns(f"s{i:03d}", i % 3)
+        three = two + [dict(two[1], turn_idx=2, text="and one more thing")]
+        for j, t in enumerate(three):
+            t = dict(t)
+            minute = [0, 2, 42][j]
+            t["ts"] = f"2024-01-01T{i % 3:02d}:{minute:02d}:00"
+            rows.append(t)
+    _write_jsonl(os.path.join(inp, "a.jsonl"), rows[::2])
+    _write_jsonl(os.path.join(inp, "b.jsonl"), rows[1::2])
+    # Append mode emits a session only after the WATERMARK passes its
+    # end — a backlog alone never finalizes its own tail.  A late
+    # sentinel turn (next day) pushes the watermark past every real
+    # session; the sentinel's own session stays open and unemitted.
+    sentinel = dict(_turns("zzz", 0)[0], ts="2024-01-02T12:00:00")
+    _write_jsonl(os.path.join(inp, "c.jsonl"), [sentinel])
+
+    q = (
+        stream_sessionize(read_transcript_stream(spark, inp, max_files=1))
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["conv_id"], str(r["sess_start"]), str(r["sess_end"]), r["n_turns"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    )
+
+    batch = (
+        spark.read.schema(TRANSCRIPT_SCHEMA).json(inp)
+        .groupBy(F.session_window("ts", "15 minutes").alias("sw"), "conv_id")
+        .agg(F.count("*").alias("n_turns"))
+    )
+    want = sorted(
+        (r["conv_id"], str(r["sw"]["start"]), str(r["sw"]["end"]), r["n_turns"])
+        for r in batch.collect()
+        if r["conv_id"] != "zzz"
+    )
+    assert got == want
+    # two sessions per conversation: (turns 0,1) and (turn 2)
+    assert len(got) == 24
+    assert sorted({n for (_, _, _, n) in got}) == [1, 2]
