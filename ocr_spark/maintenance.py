@@ -1,0 +1,133 @@
+"""Output-layout maintenance: small-file compaction.
+
+A resumable extraction run (lineage.CheckpointedExtraction) and the
+streaming sinks commit output per bucket / per micro-batch, which is
+exactly-once-correct but accumulates many small parquet files — the
+classic small-file problem that degrades every downstream scan at
+100 TB (driver-side file listing, one task per tiny split, row-group
+overhead).  Real deployments run a table-maintenance pass (Iceberg's
+``rewrite_data_files``); this module is the parquet-layout analog,
+kept deliberately simple and crash-safe:
+
+1. size the directory (driver-side listing of data files only),
+2. rewrite into ``ceil(total_bytes / target_file_bytes)`` files via a
+   ``repartition`` round-robin (NOT ``coalesce``: coalesce collapses
+   upstream parallelism so a 10k-file read would be re-scanned by a
+   handful of tasks; the narrow win is not worth the lost read
+   parallelism, and compaction is a rewrite anyway),
+3. commit atomically: write to ``<dir>.__compact_tmp``, swap via two
+   renames with the original kept at ``<dir>.__compact_bak`` until the
+   swap succeeds.
+
+Compaction is layout-only by contract: row multiset in == row multiset
+out (pinned by tests/test_maintenance.py, along with crash-window
+recovery via :func:`recover_compaction`).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+#: default compacted file size — parquet works best at 128M-1G; the
+#: default errs small so tests exercise multi-file output.
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def _data_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _data_file_count(path: str) -> int:
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files.
+
+    Returns a stats dict (files/bytes before and after, rows, skipped
+    flag) suitable for a lineage/metrics row.  No-op (skipped=True)
+    when the directory already has fewer than ``min_files_to_compact``
+    data files or fewer files than the target implies.
+
+    Partition-column layouts (``key=value`` subdirectories, e.g. the
+    streaming sink's ``batch_id=N``) are rewritten FLAT: partition
+    columns read back as regular columns and are preserved as data,
+    but the directory partitioning — whose per-partition file split is
+    the very fragmentation being removed — is not recreated.  Callers
+    that still want partition pruning afterwards should compact each
+    partition directory separately.
+    """
+    before_bytes = _data_bytes(path)
+    before_files = _data_file_count(path)
+    n_out = max(1, -(-before_bytes // max(target_file_bytes, 1)))
+    if before_files < max(min_files_to_compact, n_out + 1):
+        return {
+            "path": path, "skipped": True,
+            "files_before": before_files, "files_after": before_files,
+            "bytes_before": before_bytes, "bytes_after": before_bytes,
+        }
+
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    bak = path.rstrip("/") + ".__compact_bak"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
+
+    # atomic-enough swap: both renames are metadata ops on one
+    # filesystem; a crash between them leaves <bak> present, which
+    # recover_compaction() resolves deterministically.
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+
+    return {
+        "path": path, "skipped": False, "rows": n_rows,
+        "files_before": before_files, "files_after": _data_file_count(path),
+        "bytes_before": before_bytes, "bytes_after": _data_bytes(path),
+    }
+
+
+def recover_compaction(path: str) -> str:
+    """Resolve a crash mid-swap.  Idempotent; returns the action taken.
+
+    States (tmp = ``.__compact_tmp``, bak = ``.__compact_bak``):
+
+    - dir present, no bak: nothing to do (``"clean"``; a leftover tmp
+      from a crash before the first rename is deleted).
+    - bak present AND dir present: crash after the second rename but
+      before bak cleanup — the compacted dir is live; drop bak
+      (``"finalized"``).
+    - bak present, dir absent: crash between the renames — restore the
+      original by renaming bak back (``"rolled_back"``; a leftover tmp
+      is deleted, the compaction simply re-runs later).
+    """
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    bak = path.rstrip("/") + ".__compact_bak"
+    if os.path.exists(bak):
+        if os.path.exists(path):
+            shutil.rmtree(bak)
+            return "finalized"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+        os.rename(bak, path)
+        return "rolled_back"
+    shutil.rmtree(tmp, ignore_errors=True)
+    return "clean"

@@ -62,6 +62,73 @@ _EV_ORDER = ["ts_epoch", "turn_idx"]
 
 
 # ---------------------------------------------------------------------------
+# reusable cores — any transcript DataFrame with
+# (conv_id, turn_idx, role, tool, ts_epoch), not just the oracle
+# derivation.  The catalog entries below delegate to these; pytest
+# additionally drives them over the skewed k-turn synthetic corpus.
+# ---------------------------------------------------------------------------
+
+def sessionize(turns, gap_s: int = SESSION_GAP_S):
+    """Split each conversation into sessions on ts gaps > ``gap_s`` and
+    aggregate (n_turns, sess_start, sess_end) per session.  One
+    hashpartitioning(conv_id) exchange serves the lag window, the
+    running-sum window AND the final rollup (conv_id is a prefix of
+    the group key)."""
+    w = Window.partitionBy("conv_id").orderBy(*_EV_ORDER)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.col("ts_epoch") - F.lag("ts_epoch").over(w)
+    flagged = turns.select(
+        "conv_id", "turn_idx", "ts_epoch",
+        F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0).alias("new_sess"),
+    )
+    sess = flagged.select(
+        "conv_id", "ts_epoch",
+        F.sum("new_sess").over(run).alias("session_id"),
+    )
+    return sess.groupBy("conv_id", "session_id").agg(
+        F.count("*").alias("n_turns"),
+        F.min("ts_epoch").alias("sess_start"),
+        F.max("ts_epoch").alias("sess_end"),
+    )
+
+
+def asof_last_tool(turns, probe_role: str = "assistant"):
+    """As-of join: for every ``probe_role`` turn, the most recent
+    STRICTLY-earlier non-null-tool event in the same conversation
+    ('none'/-1 when absent).  Union + carry-forward window — one
+    conv_id shuffle of |probes| + |events| rows regardless of fan-in;
+    probes sort before events at equal ts (kind 0 < 1), which is the
+    strict-inequality contract."""
+    probes = turns.filter(F.col("role") == probe_role).select(
+        "conv_id", "turn_idx", "ts_epoch",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("ets"),
+        F.lit(None).cast("string").alias("ev_tool"),
+    )
+    events = turns.filter(F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx", "ts_epoch",
+        F.lit(1).alias("kind"),
+        F.col("ts_epoch").alias("ets"),
+        F.col("tool").alias("ev_tool"),
+    )
+    stream = probes.unionByName(events)
+    w = Window.partitionBy("conv_id").orderBy(
+        "ts_epoch", "kind", "turn_idx"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    carried = stream.select(
+        "conv_id", "turn_idx", "ts_epoch", "kind",
+        F.last("ev_tool", ignorenulls=True).over(w).alias("last_tool"),
+        F.last("ets", ignorenulls=True).over(w).alias("last_ets"),
+    )
+    return carried.filter(F.col("kind") == 0).select(
+        "conv_id", "turn_idx",
+        F.coalesce("last_tool", F.lit("none")).alias("last_tool"),
+        F.coalesce(F.col("ts_epoch") - F.col("last_ets"), F.lit(-1))
+        .cast("long").alias("age_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # T1: tool usage profile
 # ---------------------------------------------------------------------------
 
@@ -172,26 +239,8 @@ def sessionize_gaps(spark, sf_dir):
     diff flags session starts, a running sum numbers them — both
     windows and the final group-by share ONE hashpartitioning(conv_id)
     exchange, and nothing ever materializes a whole conversation as a
-    single row."""
-    t = derived_agent_transcripts(spark, sf_dir)
-    w = Window.partitionBy("conv_id").orderBy(*_EV_ORDER)
-    run = Window.partitionBy("conv_id").orderBy(*_EV_ORDER).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    gap = F.col("ts_epoch") - F.lag("ts_epoch").over(w)
-    flagged = t.select(
-        "conv_id", "turn_idx", "ts_epoch",
-        F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0).alias("new_sess"),
-    )
-    sess = flagged.select(
-        "conv_id", "ts_epoch",
-        F.sum("new_sess").over(run).alias("session_id"),
-    )
-    return sess.groupBy("conv_id", "session_id").agg(
-        F.count("*").alias("n_turns"),
-        F.min("ts_epoch").alias("sess_start"),
-        F.max("ts_epoch").alias("sess_end"),
-    )
+    single row.  Delegates to :func:`sessionize` (the reusable core)."""
+    return sessionize(derived_agent_transcripts(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -229,35 +278,9 @@ def asof_tool_join(spark, sf_dir):
     (a per-event backward scan or an interval self-join would be
     quadratic in dense conversations).  The oracle is DuckDB's native
     ASOF LEFT JOIN — an independent implementation of the same
-    semantics."""
-    t = derived_agent_transcripts(spark, sf_dir)
-    probes = t.filter(F.col("role") == "assistant").select(
-        "conv_id", "turn_idx", "ts_epoch",
-        F.lit(0).alias("kind"),
-        F.lit(None).cast("long").alias("ets"),
-        F.lit(None).cast("string").alias("ev_tool"),
-    )
-    events = t.filter(F.col("tool").isNotNull()).select(
-        "conv_id", "turn_idx", "ts_epoch",
-        F.lit(1).alias("kind"),
-        F.col("ts_epoch").alias("ets"),
-        F.col("tool").alias("ev_tool"),
-    )
-    stream = probes.unionByName(events)
-    w = Window.partitionBy("conv_id").orderBy(
-        "ts_epoch", "kind", "turn_idx"
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    carried = stream.select(
-        "conv_id", "turn_idx", "ts_epoch", "kind",
-        F.last("ev_tool", ignorenulls=True).over(w).alias("last_tool"),
-        F.last("ets", ignorenulls=True).over(w).alias("last_ets"),
-    )
-    return carried.filter(F.col("kind") == 0).select(
-        "conv_id", "turn_idx",
-        F.coalesce("last_tool", F.lit("none")).alias("last_tool"),
-        F.coalesce(F.col("ts_epoch") - F.col("last_ets"), F.lit(-1))
-        .cast("long").alias("age_s"),
-    )
+    semantics.  Delegates to :func:`asof_last_tool` (the reusable
+    core)."""
+    return asof_last_tool(derived_agent_transcripts(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -35,6 +35,10 @@ def main() -> int:
                          "via the output dir's manifest)")
     ap.add_argument("--synth-convs", type=int, default=0,
                     help="generate a synthetic input of N convs instead of reading --input")
+    ap.add_argument("--compact-target-mb", type=int, default=0,
+                    help="after the run, compact each committed bucket's "
+                         "data dir to ~N MB files (0 = off); per-bucket "
+                         "so the bucket=<i> partition layout survives")
     args = ap.parse_args()
 
     # Under spark-submit the session is configured by submit args; this
@@ -60,8 +64,23 @@ def main() -> int:
     stats = ck.run()
     wall = time.time() - t0
 
+    compacted = 0
+    if args.compact_target_mb:
+        import glob
+        import os
+
+        from ocr_spark.maintenance import compact_parquet_dir, recover_compaction
+
+        for bdir in sorted(glob.glob(os.path.join(args.output, "data", "bucket=*"))):
+            recover_compaction(bdir)  # resolve any prior crash window
+            st = compact_parquet_dir(
+                spark, bdir, target_file_bytes=args.compact_target_mb * 1024 * 1024
+            )
+            compacted += 0 if st["skipped"] else 1
+
     n_turns = sum(s.n_turns for s in stats)
     print(json.dumps({
+        "buckets_compacted": compacted,
         "buckets_processed": len(stats),
         "n_turns": n_turns,
         "n_fallback": sum(s.n_fallback for s in stats),

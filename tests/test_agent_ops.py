@@ -180,3 +180,62 @@ def test_sessionize_matches_native_session_window(spark, small_docs_dir):
     )
     key = lambda r: (r["conv_id"], r["sess_start"], r["sess_end"], r["n_turns"])
     assert sorted(map(key, native.collect())) == sorted(map(key, mine.collect()))
+
+
+def test_asof_and_sessionize_general_on_skewed_synth(spark):
+    """Generality pin: the reusable cores (asof_last_tool, sessionize)
+    must match naive per-conversation loops on the SKEWED k-turn
+    synthetic corpus (turn counts 3..~2000, sparse tools, ts strictly
+    increasing per conv) — not just the 3-turn oracle shape."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.queries.agent_ops import asof_last_tool, sessionize
+    from ocr_spark.synth import transcripts
+
+    t = transcripts(spark, 250, seed=7, skew=True).withColumn(
+        "ts_epoch", F.unix_timestamp("ts")
+    )
+    rows = sorted(
+        (
+            (r["conv_id"], r["turn_idx"], r["role"], r["tool"], r["ts_epoch"])
+            for r in t.collect()
+        ),
+        key=lambda r: (r[0], r[4], r[1]),
+    )
+    assert len(rows) > 3000  # skew actually produced long conversations
+
+    # naive as-of: walk each conversation carrying the last tool event
+    expected_asof = {}
+    carry = {}
+    for conv, tidx, role, tool, ts in rows:
+        last = carry.get(conv)  # state BEFORE this turn => strictly earlier
+        if role == "assistant":
+            expected_asof[(conv, tidx)] = (
+                (last[1], ts - last[0]) if last else ("none", -1)
+            )
+        if tool is not None:
+            carry[conv] = (ts, tool)
+    got_asof = {
+        (r["conv_id"], r["turn_idx"]): (r["last_tool"], r["age_s"])
+        for r in asof_last_tool(t).collect()
+    }
+    assert got_asof == expected_asof
+
+    # naive sessionizer (synth gaps are 1s, so widen nothing: gap_s=0
+    # would split everywhere; use 1 so every turn chains -> also check
+    # a tiny gap that splits everywhere for the degenerate case)
+    for gap_s in (0, 1):
+        expected = {}
+        prev, sess_no = {}, {}
+        for conv, _tidx, _role, _tool, ts in rows:
+            if conv not in prev or ts - prev[conv] > gap_s:
+                sess_no[conv] = sess_no.get(conv, 0) + 1
+            prev[conv] = ts
+            key = (conv, sess_no[conv])
+            n, lo, hi = expected.get(key, (0, ts, ts))
+            expected[key] = (n + 1, min(lo, ts), max(hi, ts))
+        got = {
+            (r["conv_id"], r["session_id"]): (r["n_turns"], r["sess_start"], r["sess_end"])
+            for r in sessionize(t, gap_s=gap_s).collect()
+        }
+        assert got == expected, f"gap_s={gap_s}"

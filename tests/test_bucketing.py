@@ -146,3 +146,26 @@ def teardown_module(module):
     # saveAsTable leaves a derby metastore + warehouse dir in cwd on
     # first use; they are gitignored but keep the tree tidy anyway.
     shutil.rmtree("metastore_db", ignore_errors=True)
+
+
+def test_ts_date_partition_pruning(spark, tmp_path):
+    """input_hint names ts as the partition-pruning key: a date(ts)
+    partitioned layout must prune at the SCAN (PartitionFilters carry
+    the predicate; only matching partition dirs are listed)."""
+    from ocr_spark.synth import transcripts
+
+    path = str(tmp_path / "by_date")
+    # synth ts all fall on one day; spread conversations over 5 dates
+    # (key-derived, deterministic) so pruning has something to prune
+    t = transcripts(spark, 200, seed=42, skew=False).withColumn(
+        "dt", F.date_add(F.to_date("ts"), F.pmod(F.xxhash64("conv_id"), F.lit(5)).cast("int"))
+    )
+    t.write.partitionBy("dt").mode("overwrite").parquet(path)
+
+    df = spark.read.parquet(path).filter(F.col("dt") == "2024-01-01")
+    p = _plan(df)
+    assert "PartitionFilters" in p and "2024-01-01" in p.split("PartitionFilters")[1].split("]")[0]
+    # row correctness: the pruned read equals the unpartitioned filter
+    want = t.filter(F.col("dt") == "2024-01-01").count()
+    assert 0 < want < t.count()
+    assert df.count() == want

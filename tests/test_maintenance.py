@@ -1,0 +1,92 @@
+"""Small-file compaction: row-multiset preservation, file-count
+reduction, no-op guard, and crash-window recovery in every state."""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from ocr_spark.maintenance import (
+    compact_parquet_dir,
+    recover_compaction,
+)
+
+
+def _write_fragmented(spark, path: str, n_rows: int = 2000, n_files: int = 40):
+    df = spark.range(n_rows).select(
+        F.col("id"),
+        F.format_string("conv%08d", F.col("id") % 97).alias("conv_id"),
+        F.sha1(F.col("id").cast("string")).alias("payload"),
+    )
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    return df
+
+
+def _rows(spark, path):
+    return sorted(
+        (r["id"], r["conv_id"], r["payload"])
+        for r in spark.read.parquet(path).collect()
+    )
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    _write_fragmented(spark, path)
+    want = _rows(spark, path)
+
+    stats = compact_parquet_dir(spark, path, target_file_bytes=10**9)
+    assert stats["skipped"] is False and stats["rows"] == 2000
+    assert stats["files_before"] == 40 and stats["files_after"] == 1
+    assert _rows(spark, path) == want
+    # no leftover work dirs
+    assert not os.path.exists(path + ".__compact_tmp")
+    assert not os.path.exists(path + ".__compact_bak")
+
+
+def test_compaction_is_noop_below_threshold(spark, tmp_path):
+    path = str(tmp_path / "small")
+    spark.range(10).coalesce(1).write.parquet(path)
+    stats = compact_parquet_dir(spark, path)
+    assert stats["skipped"] is True
+    assert stats["files_after"] == stats["files_before"]
+
+
+def test_target_size_splits_output(spark, tmp_path):
+    """A target below total bytes must produce multiple output files
+    (ceil(total/target)), not one giant file."""
+    path = str(tmp_path / "split")
+    _write_fragmented(spark, path)
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    stats = compact_parquet_dir(spark, path, target_file_bytes=total // 4 + 1)
+    assert stats["skipped"] is False
+    assert 2 <= stats["files_after"] <= 6
+
+
+def test_recovery_every_crash_state(spark, tmp_path):
+    path = str(tmp_path / "crashy")
+    _write_fragmented(spark, path, n_rows=200, n_files=8)
+    want = _rows(spark, path)
+    tmp, bak = path + ".__compact_tmp", path + ".__compact_bak"
+
+    # state 1: crash BEFORE the first rename (tmp written, dir intact)
+    shutil.copytree(path, tmp)
+    assert recover_compaction(path) == "clean"
+    assert not os.path.exists(tmp) and _rows(spark, path) == want
+
+    # state 2: crash BETWEEN the renames (dir moved to bak, tmp ready)
+    shutil.copytree(path, tmp)
+    os.rename(path, bak)
+    assert recover_compaction(path) == "rolled_back"
+    assert _rows(spark, path) == want
+    assert not os.path.exists(tmp) and not os.path.exists(bak)
+
+    # state 3: crash AFTER the second rename (compacted live, bak left)
+    shutil.copytree(path, bak)
+    assert recover_compaction(path) == "finalized"
+    assert _rows(spark, path) == want and not os.path.exists(bak)
+
+    # recovery is idempotent
+    assert recover_compaction(path) == "clean"

@@ -34,6 +34,7 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
             os.path.join(REPO, "scripts", "run_extract.py"),
             "--input", "unused", "--synth-convs", "60",
             "--output", out_dir, "--buckets", "4",
+            "--compact-target-mb", "256",
         ],
         capture_output=True, text=True, timeout=600,
         cwd=str(tmp_path), env=env,
@@ -46,3 +47,9 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     assert summary["n_turns"] > 0
     assert summary["resumed"] is False
     assert os.path.exists(os.path.join(out_dir, "_manifest.json"))
+    # post-compaction every bucket dir is a single 256MB-target file
+    # (multi-file buckets were rewritten; 1-file buckets were skipped)
+    assert summary["buckets_compacted"] >= 0
+    import glob
+    for bdir in glob.glob(os.path.join(out_dir, "data", "bucket=*")):
+        assert len(glob.glob(os.path.join(bdir, "*.parquet"))) == 1
