@@ -32,11 +32,25 @@ from pyspark.sql import functions as F
 
 
 def iceberg_runtime_available(spark: SparkSession) -> bool:
-    """True when the iceberg-spark runtime jar is on the JVM classpath."""
+    """True when the iceberg-spark runtime jar is loadable by SPARK.
+
+    The probe must resolve against Spark's own classloader
+    (``Utils.classForName`` → context-or-Spark loader): jars added the
+    normal way (``--packages`` / ``--jars`` / ``spark.jars.packages``)
+    land in Spark's MutableURLClassLoader, which a bare
+    ``java.lang.Class.forName`` from the py4j thread cannot see — that
+    spelling returned a false negative in exactly the deployments this
+    seam exists for.  The plain ``Class.forName`` stays as a fallback
+    for bootclasspath installs."""
+    cls = "org.apache.iceberg.spark.SparkCatalog"
+    jvm = spark._jvm  # noqa: SLF001 — JVM probe
     try:
-        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 — JVM probe
-            "org.apache.iceberg.spark.SparkCatalog"
-        )
+        jvm.org.apache.spark.util.Utils.classForName(cls, False, False)
+        return True
+    except Exception:
+        pass
+    try:
+        jvm.java.lang.Class.forName(cls)
         return True
     except Exception:
         return False
@@ -98,7 +112,13 @@ class ParquetSnapshotWriter(SnapshotWriter):
         return self.spark.read.parquet(*dirs)
 
     def read_lineage(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.output_dir, "lineage"))
+        # mergeSchema: a run resumed across a lineage-schema widening
+        # (e.g. round 4 added n_rerouted) has old- and new-width files
+        # side by side; without the merge Spark samples ONE footer and
+        # the new column's presence becomes nondeterministic
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(self.output_dir, "lineage")
+        )
 
 
 class IcebergSnapshotWriter(SnapshotWriter):

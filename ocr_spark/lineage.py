@@ -44,7 +44,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocr_spark.pipeline import extract_conversations, oversized_conv_ids
+from ocr_spark.pipeline import extract_conversations
 
 MANIFEST = "_manifest.json"
 
@@ -161,7 +161,8 @@ class CheckpointedExtraction:
     def _commit_bucket(self, b: int) -> BucketStats:
         t0 = time.time()
         part = self.spark.read.parquet(os.path.join(self.staged_dir, f"bucket={b}"))
-        out = extract_conversations(part).persist()
+        guard_stats: dict = {}
+        out = extract_conversations(part, stats_out=guard_stats).persist()
         self.writer.write_bucket_data(out, b)
         agg = out.agg(
             F.countDistinct("conv_id").alias("n_convs"),
@@ -171,8 +172,10 @@ class CheckpointedExtraction:
         ).collect()[0]
         out.unpersist()
         # skew-guard lineage: how many conversations in this bucket were
-        # rerouted off the collect_list render path (pipeline.py caps)
-        n_rerouted = oversized_conv_ids(part).count()
+        # rerouted off the collect_list render path — taken from the
+        # guard's own pre-pass (recomputing it here doubled the bucket's
+        # pre-pass scan for a number the guard already had)
+        n_rerouted = guard_stats.get("n_rerouted", 0)
         wall = time.time() - t0
         st = BucketStats(
             bucket=b,

@@ -73,6 +73,11 @@ def compact_parquet_dir(
     that still want partition pruning afterwards should compact each
     partition directory separately.
     """
+    # self-recover first: a crash in a previous compaction's swap window
+    # otherwise leaves a .__compact_bak that makes os.rename(path, bak)
+    # fail with ENOTEMPTY on every subsequent attempt
+    recover_compaction(path)
+
     before_bytes = _data_bytes(path)
     before_files = _data_file_count(path)
     n_out = max(1, -(-before_bytes // max(target_file_bytes, 1)))

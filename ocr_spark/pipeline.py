@@ -329,6 +329,7 @@ def extract_conversations(
     max_turns: int | None = MAX_RENDER_TURNS,
     max_bytes: int | None = None,
     routed_isin_cap: int = 1024,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """The flagship extraction job (render path).  See module docstring.
 
@@ -350,9 +351,15 @@ def extract_conversations(
     ~18% of the flagship job wall time at bench scale (measured r4) —
     all of it AQE replan barriers and empty-broadcast probes for a
     skew case that almost never fires.
+
+    ``stats_out``: pass a dict to receive ``n_rerouted`` (the oversized
+    conversation count the pre-pass already resolved) — lineage wants
+    the number and recomputing the pre-pass would double its scan.
     """
     vocab = list(vocab or DEFAULT_VOCAB)
     base = df.select("conv_id", "turn_idx", "role", "text")
+    if stats_out is not None:
+        stats_out["n_rerouted"] = 0
     if max_turns is None and max_bytes is None:
         return _render_extract(base, vocab, num_partitions, None)
     big = oversized_conv_ids(base, max_turns, max_bytes)
@@ -360,9 +367,15 @@ def extract_conversations(
     if not big_ids:
         return _render_extract(base, vocab, num_partitions, max_turns)
     if len(big_ids) <= routed_isin_cap:
+        if stats_out is not None:
+            stats_out["n_rerouted"] = len(big_ids)
         regular = base.filter(~F.col("conv_id").isin(big_ids))
         routed = base.filter(F.col("conv_id").isin(big_ids))
     else:
+        if stats_out is not None:
+            # adversarial case only: the bounded collect saw > cap ids,
+            # so one count job resolves the exact number
+            stats_out["n_rerouted"] = big.count()
         regular = base.join(F.broadcast(big), "conv_id", "left_anti")
         routed = base.join(F.broadcast(big), "conv_id", "left_semi")
     return _render_extract(regular, vocab, num_partitions, max_turns).unionByName(

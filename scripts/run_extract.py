@@ -69,11 +69,10 @@ def main() -> int:
         import glob
         import os
 
-        from ocr_spark.maintenance import compact_parquet_dir, recover_compaction
+        from ocr_spark.maintenance import compact_parquet_dir
 
         for bdir in sorted(glob.glob(os.path.join(args.output, "data", "bucket=*"))):
-            recover_compaction(bdir)  # resolve any prior crash window
-            st = compact_parquet_dir(
+            st = compact_parquet_dir(  # self-recovers any prior crash window
                 spark, bdir, target_file_bytes=args.compact_target_mb * 1024 * 1024
             )
             compacted += 0 if st["skipped"] else 1

@@ -90,3 +90,18 @@ def test_recovery_every_crash_state(spark, tmp_path):
 
     # recovery is idempotent
     assert recover_compaction(path) == "clean"
+
+
+def test_direct_compact_self_recovers_stale_bak(spark, tmp_path):
+    """A crash in the post-swap window leaves .__compact_bak behind; a
+    DIRECT compact_parquet_dir call (no explicit recover) must resolve
+    it and proceed instead of failing ENOTEMPTY on the rename."""
+    path = str(tmp_path / "stale")
+    _write_fragmented(spark, path, n_rows=300, n_files=6)
+    want = _rows(spark, path)
+    shutil.copytree(path, path + ".__compact_bak")  # 'finalized' crash state
+
+    stats = compact_parquet_dir(spark, path, target_file_bytes=10**9)
+    assert stats["skipped"] is False and stats["files_after"] == 1
+    assert _rows(spark, path) == want
+    assert not os.path.exists(path + ".__compact_bak")

@@ -525,3 +525,14 @@ def test_stream_sessionize_matches_batch_session_window(spark, dirs):
     # two sessions per conversation: (turns 0,1) and (turn 2)
     assert len(got) == 24
     assert sorted({n for (_, _, _, n) in got}) == [1, 2]
+
+
+def test_dedup_stream_empty_input_returns_zero(spark, dirs, tmp_path):
+    """A drain over an empty drop directory commits no micro-batches and
+    never creates the sink dir — the helper must return 0, not raise."""
+    from ocr_spark.streaming import run_dedup_stream
+
+    inp = str(tmp_path / "empty_in")
+    os.makedirs(inp)
+    out = str(tmp_path / "empty_out")
+    assert run_dedup_stream(spark, inp, out) == 0
