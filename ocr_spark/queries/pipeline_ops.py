@@ -1311,6 +1311,122 @@ def doc_fingerprint(spark, sf_dir):
     )
 
 
+# --- PII scrubbing --------------------------------------------------------
+
+#: PII patterns, deliberately written in the Java-regex/RE2 common
+#: subset (no lookaround, no backrefs) so Spark and DuckDB execute the
+#: SAME automaton — the x13 RE2-mirror precedent.  Phone requires a
+#: leading '+' to keep false positives out of plain numeric text.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d[\d -]{7,}\d"
+
+_PII_SQL = (
+    "SELECT doc_id,\n"
+    "  regexp_replace(regexp_replace(regexp_replace(text,\n"
+    f"    '{PII_EMAIL}', '<EMAIL>', 'g'),\n"
+    f"    '{PII_IPV4}', '<IP>', 'g'),\n"
+    f"    '{PII_PHONE}', '<PHONE>', 'g') AS text_scrubbed,\n"
+    f"  CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,\n"
+    f"  CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT) AS n_ips,\n"
+    f"  CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones\n"
+    "FROM documents"
+)
+
+
+@_register("pii_scrub", _PII_SQL)
+def pii_scrub(spark, sf_dir):
+    """PII scrubbing — the standard pre-training redaction pass:
+    replace emails, IPv4 addresses, and international-format phone
+    numbers with typed placeholder tokens, and count what was removed
+    (the redaction-rate quality signal).  Replacement order is fixed
+    (email -> ip -> phone) and identical in the oracle; all three
+    patterns are in the Java/RE2 common subset, pure native
+    regexp_replace — whole-stage codegen, zero Python, embarrassingly
+    map-only at any scale.  The synthetic corpus contains no PII, so
+    the oracle hash-check here proves non-corruption of clean text;
+    the planted-PII behavior is pinned by tests/test_pii.py."""
+    docs = _t(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>"),
+        PII_PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("text_scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_IPV4), F.lit(0)))
+        .cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), F.lit(0)))
+        .cast("long").alias("n_phones"),
+    )
+
+
+# --- tf-idf relevance terms -------------------------------------------------
+
+TFIDF_K = 3
+
+
+@_register(
+    "tfidf_top_terms",
+    f"""
+WITH w AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> ''
+),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word
+),
+scored AS (
+  SELECT doc_id, word, tf,
+         CAST(count(*) OVER (PARTITION BY word) AS BIGINT) AS df,
+         CAST(tf AS DOUBLE) / count(*) OVER (PARTITION BY word) AS score
+  FROM tf
+)
+SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, df, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, word) AS rn
+  FROM scored
+) WHERE rn <= {TFIDF_K}
+""",
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Per-document top-k characteristic terms by tf/df weighting —
+    tf-idf with reciprocal document frequency instead of log(N/df), so
+    the score is an exact-BIGINT ratio that both engines compute to
+    the identical IEEE double (the catalog float discipline; the log
+    variant is a monotone transform of neither, but the RANKING it
+    produces differs only where log vs 1/x reorder, and the operator's
+    purpose — surface the terms that distinguish a document — is
+    served identically).
+
+    Scale shape: explode -> (doc, word) hash agg with map-side partial
+    counts; document frequency as ONE window over the tf table's word
+    partitioning (no join-back, no distinct-count expansion); top-k
+    per doc via row_number, which Catalyst executes with a
+    WindowGroupLimit pre-trim below the exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    byw = Window.partitionBy("word")
+    scored = tf.select(
+        "doc_id", "word", "tf",
+        F.count("*").over(byw).alias("df"),
+        (F.col("tf").cast("double") / F.count("*").over(byw)).alias("score"),
+    )
+    byd = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(byd))
+        .filter(F.col("rn") <= TFIDF_K)
+        .select("doc_id", "word", "tf", "df", "score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # remaining reference reductions (A4/A8/A10, W6)
 # ---------------------------------------------------------------------------

@@ -299,3 +299,21 @@ def test_dedup_incremental_broadcasts_new_batch(spark):
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert _real_exchanges(p, "doc_id") == 2
     assert "GreaterThanOrEqual(doc_id,400)" in p  # pushed to the scan
+
+
+def test_tfidf_terms_plan_shape(spark):
+    """tfidf_top_terms: (doc,word) partial-agg counts, document
+    frequency as a window over the tf table (no join-back), and the
+    per-doc top-k pre-trimmed by WindowGroupLimit below its exchange."""
+    p = _plan(QUERIES["tfidf_top_terms"](spark, SF_DIR_ORACLE))
+    assert "partial_count" in p
+    assert "WindowGroupLimit" in p
+    assert "Join" not in p
+
+
+def test_pii_scrub_is_pure_map(spark):
+    """pii_scrub: no exchange, no Python — native regexp codegen over
+    the scan (map-only at any scale)."""
+    p = _plan(QUERIES["pii_scrub"](spark, SF_DIR_ORACLE))
+    assert "Exchange" not in p
+    assert "Python" not in p and "MapInPandas" not in p
