@@ -169,3 +169,104 @@ def segment_page_dump(lines: Sequence[tuple[float, float, str]],
     """OCR-style page dump -> main-content text in reading order."""
     typed = [Line(float(x), float(y), str(t)) for x, y, t in lines]
     return " ".join(ln.text for ln in reading_order(typed, y_tol, col_gap) if ln.text)
+
+
+# --------------------------------------------------------------------------
+# OCR page-dump cleanup: chrome removal + dehyphenation + reflow
+# --------------------------------------------------------------------------
+#
+# The third payload modality of the north_star ("OCR-style page dumps"):
+# scanned-page text arrives as form-feed-separated pages, each carrying
+# repeated header/footer chrome ("Page 3 of 7"), hard line wraps at the
+# scanner's column width, and end-of-line hyphenation of words the wrap
+# split.  ``render_page_dump`` produces that shape deterministically;
+# ``reflow_page_dump`` inverts it with the standard production
+# heuristics — digit-masked line-frequency chrome detection (a line
+# whose digit-masked form opens or closes most pages is chrome, however
+# the page numbers vary), join-on-trailing-hyphen dehyphenation, and
+# whitespace reflow.
+
+_OCR_HEADER = "SCANCO OCR v2 ~ batch 7"
+_DIGIT_RE = re.compile(r"\d+")
+
+
+def render_page_dump(text: str, words_per_page: int = 20, width: int = 28) -> str:
+    """Deterministic OCR-style page dump of ``text``.
+
+    Pages of ``words_per_page`` words (at least two pages — short docs
+    split in half), separated by form-feed.  Each page: a header line,
+    greedy hard-wrapped content at ``width`` chars with end-of-line
+    hyphenation (a word that does not fit is split when both fragments
+    keep >=3 chars, as scanners do), and a ``Page k of n`` footer.
+    """
+    words = text.split()
+    wpp = min(words_per_page, max(1, -(-len(words) // 2)))
+    n_pages = max(2, -(-len(words) // wpp))
+    pages: list[str] = []
+    for p in range(n_pages):
+        chunk = words[p * wpp:(p + 1) * wpp]
+        lines: list[str] = [_OCR_HEADER]
+        cur = ""
+        for w in chunk:
+            need = len(w) if not cur else len(w) + 1
+            if not cur:
+                cur = w
+            elif len(cur) + need <= width:
+                cur = cur + " " + w
+            else:
+                room = width - len(cur) - 2  # 1 for the space, 1 for '-'
+                if room >= 3 and len(w) - room >= 3:
+                    lines.append(cur + " " + w[:room] + "-")
+                    cur = w[room:]
+                else:
+                    lines.append(cur)
+                    cur = w
+            # force-split any fragment still wider than the column
+            while len(cur) > width:
+                lines.append(cur[: width - 1] + "-")
+                cur = cur[width - 1:]
+        if cur:
+            lines.append(cur)
+        lines.append(f"Page {p + 1} of {n_pages}")
+        pages.append("\n".join(lines))
+    return "\f".join(pages)
+
+
+def reflow_page_dump(dump: str, chrome_frac: float = 0.6) -> tuple[str, int, int]:
+    """Invert an OCR page dump: ``(clean_text, n_pages, n_chrome_removed)``.
+
+    Chrome detection is frequency-based, not pattern-based: a line
+    whose digit-masked form appears as the first or last line of at
+    least ``chrome_frac`` of the pages is chrome (this catches
+    ``Page 3 of 7`` / ``Page 12 of 7`` as one masked form without
+    knowing the wording).  Every line matching a chrome form is
+    dropped wherever it appears.  Remaining lines reflow with
+    join-on-trailing-hyphen dehyphenation.
+    """
+    pages = [[ln for ln in page.split("\n") if ln.strip()]
+             for page in dump.split("\f")]
+    pages = [p for p in pages if p]
+    n_pages = len(pages)
+    counts: dict[str, int] = {}
+    for p in pages:
+        edge_forms = {_DIGIT_RE.sub("#", p[0]), _DIGIT_RE.sub("#", p[-1])}
+        for form in edge_forms:
+            counts[form] = counts.get(form, 0) + 1
+    threshold = max(2, int(-(-chrome_frac * n_pages // 1)))  # ceil, min 2
+    chrome = {form for form, c in counts.items() if c >= threshold}
+    out: list[str] = []
+    n_removed = 0
+    pending_hyphen = False
+    for p in pages:
+        for ln in p:
+            if _DIGIT_RE.sub("#", ln) in chrome:
+                n_removed += 1
+                continue
+            if pending_hyphen and out:
+                out[-1] = out[-1] + ln
+            else:
+                out.append(ln)
+            pending_hyphen = ln.endswith("-")
+            if pending_hyphen:
+                out[-1] = out[-1][:-1]
+    return " ".join(" ".join(out).split()), n_pages, n_removed

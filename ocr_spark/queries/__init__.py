@@ -49,8 +49,8 @@ _DRIVER_PRIORITY = [
     # the agent-transcript family (NEW this round: input_hint tool/ts)
     "tool_call_stats", "tool_latency", "sessionize_gaps",
     "asof_tool_join", "turn_rate_windows", "tool_transitions",
-    # late round-4 additions (NEW): PII scrub + tf-idf terms
-    "pii_scrub", "tfidf_top_terms",
+    # late round-4 additions (NEW): PII scrub + tf-idf terms + OCR reflow
+    "pii_scrub", "tfidf_top_terms", "ocr_page_reflow",
     # -- 2: latest driver evidence is r1/r2 (rotated out of r3's window) --
     "p1_turn_merge", "x3_render", "x4_marker_split", "x2_extract_answer",
     "x8_block_classify", "x1_parse_imports", "x6_span_count",
@@ -59,7 +59,9 @@ _DRIVER_PRIORITY = [
     # (j4_cross_expand, j6_anti_join also rotated out for the two late
     #  additions — same rule as the note below)
     "a1_grouped_accuracy",
-    "a2_rollup", "a5_topk", "a5_topk_per_group",
+    "a2_rollup", "a5_topk_per_group",
+    # (a5_topk rotated out for the late ocr_page_reflow addition — its
+    #  harder per-group variant stays in; pytest parity checks both)
     "a14_shift_compare", "w2_seeded_split", "x6_char_spans",
     "dedup_exact", "dedup_minhash_signatures",
     "stratified_sample", "ann_cosine_topk", "j8_pairwise_cosine",

@@ -148,3 +148,60 @@ def pdf_reading_order(spark, sf_dir):
             )
 
     return d.mapInPandas(run, schema=_PDF_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# OCR page-dump cleanup (chrome removal + dehyphenation + reflow)
+# --------------------------------------------------------------------------
+
+_OCR_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("reflowed_text", StringType()),
+        StructField("n_pages", IntegerType()),
+        StructField("n_chrome_removed", IntegerType()),
+    ]
+)
+
+
+@_register(
+    "ocr_page_reflow",
+    """
+SELECT doc_id,
+       text AS reflowed_text,
+       CAST(greatest(2, ceil(nw / least(20.0, ceil(nw / 2.0)))) AS INTEGER) AS n_pages,
+       CAST(2 * greatest(2, ceil(nw / least(20.0, ceil(nw / 2.0)))) AS INTEGER)
+         AS n_chrome_removed
+FROM (SELECT doc_id, text, len(str_split(text, ' ')) AS nw FROM documents)
+""",
+)
+def ocr_page_reflow(spark, sf_dir):
+    """OCR-style page-dump cleanup — the third north_star payload
+    modality.  Each document is rendered as a deterministic multi-page
+    scanner dump (form-feed-separated pages, repeated header +
+    ``Page k of n`` footer chrome, hard 28-char line wraps with
+    end-of-line hyphenation) and the kernel must invert it: detect
+    chrome by digit-masked first/last-line frequency across pages,
+    join hyphenated line breaks, and reflow the wraps.  The oracle
+    states the clean text and page arithmetic in closed form; the
+    corpus property making the inversion exact (lowercase words only —
+    no digits, hyphens, or newlines in content) is asserted by
+    tests/test_layout.py.  Reference parity surface: the per-turn
+    text-equality contract of the extraction pipeline."""
+    from ocr_spark.kernels.layout import reflow_page_dump, render_page_dump
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches):
+        for pdf in batches:
+            outs = [reflow_page_dump(render_page_dump(t)) for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "reflowed_text": [o[0] for o in outs],
+                    "n_pages": [o[1] for o in outs],
+                    "n_chrome_removed": [o[2] for o in outs],
+                }
+            )
+
+    return d.mapInPandas(run, schema=_OCR_SCHEMA)

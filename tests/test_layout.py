@@ -71,3 +71,88 @@ def test_reading_order_row_x_order():
 def test_empty_inputs():
     assert strip_boilerplate("") == ("", [])
     assert segment_page_dump([]) == ""
+
+
+# --------------------------------------------------------------------------
+# OCR page-dump render/reflow round trip
+# --------------------------------------------------------------------------
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_spark.kernels.layout import reflow_page_dump, render_page_dump
+
+_WORD = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=40)
+
+
+def test_render_shape():
+    dump = render_page_dump("alpha beta gamma delta", words_per_page=2, width=28)
+    pages = dump.split("\f")
+    assert len(pages) == 2
+    for i, p in enumerate(pages, start=1):
+        lines = p.split("\n")
+        assert lines[0] == "SCANCO OCR v2 ~ batch 7"
+        assert lines[-1] == f"Page {i} of 2"
+
+
+def test_reflow_removes_varying_digit_chrome():
+    # footers differ per page ("Page 1 of 3" vs "Page 12 of 3") but share
+    # a digit-masked form; the kernel must drop all of them.
+    dump = "\f".join(
+        "HDR X\n" + body + f"\nPage {k} of 3"
+        for k, body in ((1, "aa bb"), (2, "cc dd"), (12, "ee"))
+    )
+    text, n_pages, n_removed = reflow_page_dump(dump)
+    assert text == "aa bb cc dd ee"
+    assert n_pages == 3
+    assert n_removed == 6
+
+
+def test_reflow_dehyphenates_across_lines_and_pages():
+    dump = "H\nword spli-\ntting here\nP 1\fH\nand hyphena-\ntion again\nP 2"
+    text, _, _ = reflow_page_dump(dump)
+    assert text == "word splitting here and hyphenation again"
+
+
+def test_reflow_chains_force_split_fragments():
+    long = "a" * 70
+    dump = render_page_dump(f"{long} tail", words_per_page=2, width=28)
+    text, _, _ = reflow_page_dump(dump)
+    assert text == f"{long} tail"
+
+
+def test_chrome_threshold_requires_majority():
+    # a line opening only 1 of 3 pages is NOT chrome
+    dump = "onlyonce\naa\nFOOT 1\fbb\ncc\nFOOT 2\fdd\nFOOT 3"
+    text, _, removed = reflow_page_dump(dump)
+    assert "onlyonce" in text
+    assert removed == 3
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_WORD, min_size=1, max_size=120))
+def test_round_trip_property(words):
+    text = " ".join(words)
+    clean, n_pages, n_chrome = reflow_page_dump(render_page_dump(text))
+    assert clean == text
+    wpp = min(20, max(1, -(-len(words) // 2)))
+    assert n_pages == max(2, -(-len(words) // wpp))
+    assert n_chrome == 2 * n_pages
+
+
+def test_corpus_property_makes_inversion_exact():
+    """The closed-form oracle for ocr_page_reflow relies on content
+    having no digits, hyphens, newlines, or form feeds; pin that
+    property of the oracle-SF corpus here."""
+    import duckdb
+
+    from tests.conftest import SF_DIR_ORACLE
+
+    texts = duckdb.sql(
+        f"SELECT text FROM read_parquet('{SF_DIR_ORACLE}/documents.parquet')"
+    ).df()["text"]
+    assert not any(
+        re.search(r"[-\d\n\f\t]|\s\s|^\s|\s$", t) for t in texts
+    )
