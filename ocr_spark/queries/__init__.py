@@ -49,12 +49,16 @@ _DRIVER_PRIORITY = [
     # the agent-transcript family (NEW this round: input_hint tool/ts)
     "tool_call_stats", "tool_latency", "sessionize_gaps",
     "asof_tool_join", "turn_rate_windows", "tool_transitions",
-    # late round-4 additions (NEW): PII scrub + tf-idf terms + OCR reflow
+    # late round-4 additions (NEW): PII scrub + tf-idf terms + OCR
+    # reflow + Gopher rule filter
     "pii_scrub", "tfidf_top_terms", "ocr_page_reflow",
+    "gopher_quality_filter",
     # -- 2: latest driver evidence is r1/r2 (rotated out of r3's window) --
     "p1_turn_merge", "x3_render", "x4_marker_split", "x2_extract_answer",
     "x8_block_classify", "x1_parse_imports", "x6_span_count",
-    "p4_substitute", "x9_regex_field", "p10_sanitize",
+    "p4_substitute", "x9_regex_field",
+    # (p10_sanitize rotated out for the late gopher_quality_filter
+    #  addition; pytest parity still checks it every run)
     "j1_broadcast_lookup", "j2_contains_join",
     # (j4_cross_expand, j6_anti_join also rotated out for the two late
     #  additions — same rule as the note below)

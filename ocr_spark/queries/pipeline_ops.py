@@ -1696,3 +1696,97 @@ def ann_ivf_probe(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("q_id", "vec_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule filter (Rae et al. 2021, Appendix A)
+# ---------------------------------------------------------------------------
+
+#: Gopher's "required words" rule: a document must contain >=2 of these.
+_GOPHER_REQ = ["the", "be", "to", "of", "and", "that", "have", "with"]
+_SQL_GOPHER_REQ = ", ".join(f"'{w}'" for w in _GOPHER_REQ)
+
+
+@_register(
+    "gopher_quality_filter",
+    f"""
+SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, n_required_stops,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND symbol_word_ratio < 0.1
+        AND alpha_word_ratio >= 0.8
+        AND n_required_stops >= 2) AS passes,
+       CASE
+         WHEN n_words NOT BETWEEN 50 AND 100000 THEN 'word_count'
+         WHEN mean_word_len NOT BETWEEN 3.0 AND 10.0 THEN 'word_length'
+         WHEN symbol_word_ratio >= 0.1 THEN 'symbol_ratio'
+         WHEN alpha_word_ratio < 0.8 THEN 'alpha_ratio'
+         WHEN n_required_stops < 2 THEN 'stopwords'
+         ELSE ''
+       END AS fail_reason
+FROM (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(words) AS mean_word_len,
+         CAST(len(list_filter(words, w -> starts_with(w, '#') OR contains(w, '...')))
+              AS DOUBLE) / len(words) AS symbol_word_ratio,
+         CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+              AS DOUBLE) / len(words) AS alpha_word_ratio,
+         CAST(len(list_intersect(list_distinct(words), [{_SQL_GOPHER_REQ}]))
+              AS INTEGER) AS n_required_stops
+  FROM (SELECT doc_id, text, str_split(text, ' ') AS words FROM documents)
+)
+""",
+)
+def gopher_quality_filter(spark, sf_dir):
+    """Gopher rule-based quality filter (Rae et al. 2021, Appendix A —
+    the published pre-training filter this corpus family standardized
+    on): word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio (#/ellipsis), alphabetic-word share, and the >=2-required-
+    stopwords rule.  Emits per-document signals, the pass verdict, and
+    the FIRST failing rule so downstream lineage can count rejects per
+    reason.  Pure native expressions — whole-stage codegen, map-only at
+    any scale (the filter fuses into the scan; no UDF).  Planted
+    pass/fail fixtures for every rule: tests/test_pii.py."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("long")
+    mean_wl = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_words
+    )
+    sym_ratio = (
+        F.size(F.filter(words, lambda w: w.startswith("#") | w.contains("...")))
+        .cast("double") / n_words
+    )
+    alpha_ratio = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double") / n_words
+    )
+    req = F.array(*[F.lit(w) for w in _GOPHER_REQ])
+    n_req = F.size(F.array_intersect(F.array_distinct(words), req)).cast("int")
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        n_req.alias("n_required_stops"),
+    )
+    ok_words = F.col("n_words").between(50, 100000)
+    ok_len = F.col("mean_word_len").between(3.0, 10.0)
+    ok_sym = F.col("symbol_word_ratio") < 0.1
+    ok_alpha = F.col("alpha_word_ratio") >= 0.8
+    ok_stops = F.col("n_required_stops") >= 2
+    reason = (
+        F.when(~ok_words, F.lit("word_count"))
+        .when(~ok_len, F.lit("word_length"))
+        .when(~ok_sym, F.lit("symbol_ratio"))
+        .when(~ok_alpha, F.lit("alpha_ratio"))
+        .when(~ok_stops, F.lit("stopwords"))
+        .otherwise(F.lit(""))
+    )
+    return base.select(
+        "doc_id", "n_words", "mean_word_len", "alpha_word_ratio",
+        "n_required_stops",
+        (ok_words & ok_len & ok_sym & ok_alpha & ok_stops).alias("passes"),
+        reason.alias("fail_reason"),
+    )

@@ -63,3 +63,50 @@ def test_pii_scrub_oracle_agrees_on_planted_corpus(spark, tmp_path):
     for col in ["text_scrubbed", "n_emails", "n_ips", "n_phones"]:
         assert list(sdf[col]) == list(odf[col]), col
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality filter: planted pass/fail fixtures per rule
+# ---------------------------------------------------------------------------
+
+_GOOD = ("the quick brown fox jumps over the lazy dog and runs to the river "
+         "of dreams that have been with us " + "wandering onward again " * 10).strip()
+
+_GOPHER_DOCS = [
+    (0, _GOOD),                                        # passes every rule
+    (1, "the end to of"),                              # too few words
+    (2, " ".join(["to", "of", "an", "it", "he"] * 12)),   # mean word len < 3
+    (3, "the " + "#tag " * 20 + ("be with that of and " * 10).strip()),  # symbols
+    (4, ("1010 2020 3030 4040 " * 15).strip() + " the of"),  # alpha ratio < 0.8
+    (5, ("zebra yonder quartz " * 20).strip()),           # no required stopwords
+]
+
+
+def test_gopher_rules_planted(spark, tmp_path):
+    d = str(tmp_path / "gopher_tables")
+    docs = pd.DataFrame(
+        [(i, "en", t, "gq", len(t)) for i, t in _GOPHER_DOCS],
+        columns=["doc_id", "lang", "text", "source", "n_chars"],
+    )
+    spark.createDataFrame(docs).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    rows = {r["doc_id"]: r for r in
+            QUERIES["gopher_quality_filter"](spark, d).collect()}
+    assert rows[0]["passes"] and rows[0]["fail_reason"] == ""
+    expected = {1: "word_count", 2: "word_length", 3: "symbol_ratio",
+                4: "alpha_ratio", 5: "stopwords"}
+    for i, reason in expected.items():
+        assert not rows[i]["passes"], i
+        assert rows[i]["fail_reason"] == reason, (i, rows[i]["fail_reason"])
+
+    # both engines agree on the planted corpus too
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    odf = con.execute(ORACLES["gopher_quality_filter"]).df()
+    o = {int(r["doc_id"]): r for _, r in odf.iterrows()}
+    for i in range(len(_GOPHER_DOCS)):
+        assert bool(o[i]["passes"]) == bool(rows[i]["passes"])
+        assert o[i]["fail_reason"] == rows[i]["fail_reason"]
+    con.close()

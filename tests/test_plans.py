@@ -317,3 +317,21 @@ def test_pii_scrub_is_pure_map(spark):
     p = _plan(QUERIES["pii_scrub"](spark, SF_DIR_ORACLE))
     assert "Exchange" not in p
     assert "Python" not in p and "MapInPandas" not in p
+
+
+def test_ocr_page_reflow_is_map_only(spark):
+    """ocr_page_reflow: one Arrow-batched MapInPandas over a pruned
+    two-column scan — no exchange at any scale (embarrassingly
+    parallel per document)."""
+    p = _plan(QUERIES["ocr_page_reflow"](spark, SF_DIR_ORACLE))
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_gopher_filter_is_pure_map(spark):
+    """gopher_quality_filter: native expressions only — no exchange,
+    no Python; the rules fuse into the scan."""
+    p = _plan(QUERIES["gopher_quality_filter"](spark, SF_DIR_ORACLE))
+    assert "Exchange" not in p
+    assert "Python" not in p and "MapInPandas" not in p
