@@ -1790,3 +1790,123 @@ def gopher_quality_filter(spark, sf_dir):
         (ok_words & ok_len & ok_sym & ok_alpha & ok_stops).alias("passes"),
         reason.alias("fail_reason"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd's k-means (the IVF codebook trainer)
+# ---------------------------------------------------------------------------
+
+def _sql_kmeans_iter(prev_c: str, tag: str) -> str:
+    """One unrolled Lloyd iteration as DuckDB CTE text: assign every
+    vector to its nearest centroid of ``prev_c`` (exact integer-micro
+    L2, ties to the smaller cid), then per-(cid, dim) integer sums and
+    the floor(s/n + 0.5) mean, carrying the previous centroid for an
+    empty cluster."""
+    return f"""
+d{tag} AS (
+  SELECT v.vec_id, c.cid,
+         CAST(sum((v.m[c.dim] - c.val) * (v.m[c.dim] - c.val)) AS BIGINT) AS d2
+  FROM v CROSS JOIN {prev_c} c
+  GROUP BY v.vec_id, c.cid
+),
+a{tag} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d{tag}) WHERE rn = 1
+),
+s{tag} AS (
+  SELECT a.cid, t.i AS dim, CAST(sum(v.m[t.i]) AS BIGINT) AS s, count(*) AS n
+  FROM a{tag} a JOIN v USING (vec_id) CROSS JOIN range(1, 65) t(i)
+  GROUP BY a.cid, t.i
+),
+c{tag} AS (
+  SELECT p.cid, p.dim,
+         COALESCE(CAST(floor(CAST(s.s AS DOUBLE) / s.n + 0.5) AS BIGINT), p.val) AS val
+  FROM {prev_c} p LEFT JOIN s{tag} s ON s.cid = p.cid AND s.dim = p.dim
+)"""
+
+
+_SQL_KMEANS = f"""
+WITH v AS (
+  SELECT vec_id,
+         [{sql_micros_extract('embedding', 'i')} FOR i IN generate_series(1, 64)] AS m
+  FROM embeddings
+),
+init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, m
+  FROM v ORDER BY vec_id LIMIT 4
+),
+c0 AS (
+  SELECT cid, t.i AS dim, m[t.i] AS val
+  FROM init CROSS JOIN range(1, 65) t(i)
+),{_sql_kmeans_iter('c0', '1')},{_sql_kmeans_iter('c1', '2')},
+cnt AS (SELECT cid, count(*) AS n FROM a2 GROUP BY cid)
+SELECT c2.cid AS cent_id, c2.dim AS dim, c2.val AS c_micro,
+       COALESCE(cnt.n, 0) AS n_assigned
+FROM c2 LEFT JOIN cnt ON cnt.cid = c2.cid
+"""
+
+
+@_register("kmeans_train", _SQL_KMEANS)
+def kmeans_train(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embedding corpus — the
+    trainer that produces the IVF coarse-quantizer codebook
+    ``ann_ivf_probe`` consumes.  k=4, two iterations, deterministic
+    init (the k smallest vec_ids), all arithmetic in exact integer
+    micros so the unrolled-CTE DuckDB oracle matches bit-for-bit:
+    assignment distances and per-dimension sums are int64-exact, and
+    the mean is floor(sum/n + 0.5) on an IEEE division both engines
+    compute identically.  An empty cluster keeps its previous centroid
+    (n_assigned = 0).
+
+    Scale shape — the canonical Spark k-means loop: centroids live on
+    the driver (k x dim ints, a codebook is a driver artifact, same
+    policy as ann_ivf_probe); per iteration the corpus does ONE
+    map-only Arrow-batched assignment (integer (batch x k) matmul +
+    argmin; ties to the smaller cid, matching the oracle's ORDER BY
+    d2, cid) and ONE aggregation whose shuffle is bounded by map-side
+    partial aggregation to k*64 rows per partition — the corpus rows
+    themselves never shuffle.  Driver materialization per iteration is
+    k*64 scalars, never corpus-sized."""
+    import math
+
+    from pyspark.sql.types import LongType
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", micros(F.col("embedding")).alias("e"))
+    init_rows = emb.orderBy("vec_id").limit(4).collect()
+    C = np.array([r["e"] for r in init_rows], dtype=np.int64)
+    k, dim = C.shape
+    counts = np.zeros(k, dtype=np.int64)
+    def _make_nearest(Cl, cn2):
+        @F.pandas_udf(LongType())
+        def nearest(es: pd.Series) -> pd.Series:
+            E = np.stack(es.to_numpy())
+            d2 = (E * E).sum(axis=1, keepdims=True) + cn2[None, :] - 2 * (E @ Cl.T)
+            return pd.Series(np.argmin(d2, axis=1))
+
+        return nearest
+
+    for _ in range(2):
+        nearest = _make_nearest(C.copy(), (C * C).sum(axis=1))
+        sums = (
+            emb.withColumn("cid", nearest(F.col("e")))
+            .select("cid", F.posexplode("e").alias("d0", "val"))
+            .groupBy("cid", "d0")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        C = C.copy()
+        counts = np.zeros(k, dtype=np.int64)
+        for r in sums:
+            C[r["cid"], r["d0"]] = math.floor(r["s"] / r["n"] + 0.5)
+            counts[r["cid"]] = r["n"]
+    rows = [
+        (int(c), int(d + 1), int(C[c, d]), int(counts[c]))
+        for c in range(k)
+        for d in range(dim)
+    ]
+    return spark.createDataFrame(
+        rows, schema="cent_id BIGINT, dim BIGINT, c_micro BIGINT, n_assigned BIGINT"
+    )

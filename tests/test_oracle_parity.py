@@ -113,3 +113,40 @@ def test_grams_guard_drops_short_docs_both_engines(spark, tmp_path):
     # the shared shingle path (dedup) must tolerate the same inputs
     sigs = QUERIES["dedup_minhash_signatures"](spark, str(tmp_path)).toPandas()
     assert set(sigs["doc_id"]) == {4, 5}
+
+
+def test_kmeans_train_matches_naive_lloyd(spark):
+    """Independent semantic pin: a from-scratch numpy Lloyd loop
+    (no shared code with the operator) reproduces kmeans_train's
+    centroids and counts exactly at sf0.001."""
+    import numpy as np
+
+    out = QUERIES["kmeans_train"](spark, "/root/testdata/sf0.001").toPandas()
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    M = np.array(
+        [np.round(np.asarray(e, dtype=np.float64) * 1_000_000).astype(np.int64)
+         for e in emb["embedding"]]
+    )
+    C = M[:4].copy()
+    counts = np.zeros(4, dtype=np.int64)
+    for _ in range(2):
+        d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        asg = np.argmin(d2, axis=1)  # first min = smallest cid on ties
+        newC = C.copy()
+        counts = np.zeros(4, dtype=np.int64)
+        for c in range(4):
+            members = M[asg == c]
+            counts[c] = len(members)
+            if len(members):
+                s = members.sum(axis=0)
+                newC[c] = np.floor(s / len(members) + 0.5).astype(np.int64)
+        C = newC
+    got = {(r.cent_id, r.dim): (r.c_micro, r.n_assigned)
+           for r in out.itertuples(index=False)}
+    for c in range(4):
+        for d in range(64):
+            assert got[(c, d + 1)] == (C[c, d], counts[c]), (c, d)
