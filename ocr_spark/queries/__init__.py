@@ -52,7 +52,7 @@ _DRIVER_PRIORITY = [
     # late round-4 additions (NEW): PII scrub + tf-idf terms + OCR
     # reflow + Gopher rule filter
     "pii_scrub", "tfidf_top_terms", "ocr_page_reflow",
-    "gopher_quality_filter", "kmeans_train",
+    "gopher_quality_filter", "kmeans_train", "pq_encode",
     # -- 2: latest driver evidence is r1/r2 (rotated out of r3's window) --
     "p1_turn_merge", "x3_render", "x4_marker_split", "x2_extract_answer",
     "x8_block_classify", "x1_parse_imports", "x6_span_count",
@@ -68,7 +68,9 @@ _DRIVER_PRIORITY = [
     #  harder per-group variant stays in; pytest parity checks both)
     # (a14_shift_compare rotated out for the late kmeans_train
     #  addition; pytest parity still checks it every run)
-    "w2_seeded_split", "x6_char_spans",
+    # (w2_seeded_split rotated out for the late pq_encode addition;
+    #  pytest parity still checks it every run)
+    "x6_char_spans",
     "dedup_exact", "dedup_minhash_signatures",
     "stratified_sample", "ann_cosine_topk", "j8_pairwise_cosine",
     "a9_vector_mean", "text_quality", "lang_id",

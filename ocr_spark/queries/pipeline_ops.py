@@ -1910,3 +1910,90 @@ def kmeans_train(spark, sf_dir):
     return spark.createDataFrame(
         rows, schema="cent_id BIGINT, dim BIGINT, c_micro BIGINT, n_assigned BIGINT"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization encode (the PQ half of IVF-PQ)
+# ---------------------------------------------------------------------------
+
+_SQL_PQ = f"""
+WITH v AS (
+  SELECT vec_id,
+         [{sql_micros_extract('embedding', 'i')} FOR i IN generate_series(1, 64)] AS m
+  FROM embeddings
+),
+cb AS (  -- codebook: the 4 smallest vec_ids, split into 4 subspaces of 16 dims
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, m
+  FROM v ORDER BY vec_id LIMIT 4
+),
+cbsub AS (
+  SELECT code, s.sub, t.i AS dim, m[s.sub * 16 + t.i] AS val
+  FROM cb CROSS JOIN range(0, 4) s(sub) CROSS JOIN range(1, 17) t(i)
+),
+d AS (
+  SELECT v.vec_id, c.sub, c.code,
+         CAST(sum((v.m[c.sub * 16 + c.dim] - c.val)
+                * (v.m[c.sub * 16 + c.dim] - c.val)) AS BIGINT) AS d2
+  FROM v CROSS JOIN cbsub c
+  GROUP BY v.vec_id, c.sub, c.code
+)
+SELECT vec_id, sub, code, d2 AS err2 FROM (
+  SELECT vec_id, sub, code, d2,
+         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+  FROM d) WHERE rn = 1
+"""
+
+
+@_register("pq_encode", _SQL_PQ)
+def pq_encode(spark, sf_dir):
+    """Product-quantization encoding (Jégou et al. TPAMI 2011) — the
+    compression half of IVF-PQ: each 64-dim vector splits into 4
+    subspaces of 16 dims, and each subvector is replaced by the id of
+    its nearest codeword in that subspace's codebook (here the
+    deterministic 4-entry init codebook — the k smallest vec_ids —
+    so both engines share it bit-exactly; kmeans_train is the trainer
+    that would refine it).  Emits (vec_id, sub, code, err2) with the
+    exact integer-micro squared quantization error.
+
+    Scale shape: the codebook is a driver artifact (m*k subvectors);
+    encoding is MAP-ONLY — one Arrow batch does an integer
+    (batch x k) matmul + argmin per subspace, the production shape at
+    k=256 where a 64-byte code replaces a 256-float vector.  No
+    shuffle anywhere (plan-guarded)."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", micros(F.col("embedding")).alias("e"))
+    cb_rows = emb.orderBy("vec_id").limit(4).collect()
+    CB = np.array([r["e"] for r in cb_rows], dtype=np.int64)  # (k, 64)
+    k = CB.shape[0]
+    m, sd = 4, 16
+
+    out_schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("sub", LongType()),
+        StructField("code", LongType()),
+        StructField("err2", LongType()),
+    ])
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["e"].to_numpy())  # (n, 64)
+            n = E.shape[0]
+            vec_ids = pdf["vec_id"].to_numpy()
+            recs = {"vec_id": [], "sub": [], "code": [], "err2": []}
+            for s in range(m):
+                Es = E[:, s * sd:(s + 1) * sd]
+                Cs = CB[:, s * sd:(s + 1) * sd]
+                d2 = ((Es * Es).sum(1, keepdims=True)
+                      + (Cs * Cs).sum(1)[None, :] - 2 * (Es @ Cs.T))
+                codes = np.argmin(d2, axis=1)  # first min = smallest code
+                recs["vec_id"].extend(vec_ids.tolist())
+                recs["sub"].extend([s] * n)
+                recs["code"].extend(codes.tolist())
+                recs["err2"].extend(d2[np.arange(n), codes].tolist())
+            yield pd.DataFrame(recs)
+
+    return emb.mapInPandas(encode, schema=out_schema)

@@ -335,3 +335,11 @@ def test_gopher_filter_is_pure_map(spark):
     p = _plan(QUERIES["gopher_quality_filter"](spark, SF_DIR_ORACLE))
     assert "Exchange" not in p
     assert "Python" not in p and "MapInPandas" not in p
+
+
+def test_pq_encode_is_map_only(spark):
+    """pq_encode: codebook rides the closure; encoding is one Arrow
+    MapInPandas over the scan — no shuffle at any scale."""
+    p = _plan(QUERIES["pq_encode"](spark, SF_DIR_ORACLE))
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
