@@ -1876,6 +1876,12 @@ def kmeans_train(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", micros(F.col("embedding")).alias("e"))
     init_rows = emb.orderBy("vec_id").limit(4).collect()
+    if not init_rows:
+        # empty corpus: no centroids to train — empty result, same
+        # schema (the oracle's LIMIT 4 init is empty identically)
+        return spark.createDataFrame(
+            [], schema="cent_id BIGINT, dim BIGINT, c_micro BIGINT, n_assigned BIGINT"
+        )
     C = np.array([r["e"] for r in init_rows], dtype=np.int64)
     k, dim = C.shape
     counts = np.zeros(k, dtype=np.int64)
@@ -1965,8 +1971,13 @@ def pq_encode(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", micros(F.col("embedding")).alias("e"))
     cb_rows = emb.orderBy("vec_id").limit(4).collect()
+    if not cb_rows:
+        # empty corpus: no codebook — empty result, same schema (the
+        # oracle is empty identically)
+        return spark.createDataFrame(
+            [], schema="vec_id BIGINT, sub BIGINT, code BIGINT, err2 BIGINT"
+        )
     CB = np.array([r["e"] for r in cb_rows], dtype=np.int64)  # (k, 64)
-    k = CB.shape[0]
     m, sd = 4, 16
 
     out_schema = StructType([

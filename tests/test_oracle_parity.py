@@ -150,3 +150,30 @@ def test_kmeans_train_matches_naive_lloyd(spark):
     for c in range(4):
         for d in range(64):
             assert got[(c, d + 1)] == (C[c, d], counts[c]), (c, d)
+
+
+def test_kmeans_and_pq_handle_empty_corpus(spark, tmp_path):
+    """Both codebook-driven operators return an empty frame with the
+    contract schema (not a crash) when the embeddings table is empty —
+    mirroring ann_ivf_probe's empty-codebook rule."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    d = str(tmp_path / "empty_tables")
+    sch = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("label", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    spark.createDataFrame([], sch).write.parquet(f"{d}/embeddings.parquet")
+    km = QUERIES["kmeans_train"](spark, d)
+    pq = QUERIES["pq_encode"](spark, d)
+    assert km.count() == 0 and km.columns == ["cent_id", "dim", "c_micro", "n_assigned"]
+    assert pq.count() == 0 and pq.columns == ["vec_id", "sub", "code", "err2"]
