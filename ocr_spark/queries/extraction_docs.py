@@ -205,3 +205,84 @@ def ocr_page_reflow(spark, sf_dir):
             )
 
     return d.mapInPandas(run, schema=_OCR_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Per-turn payload extraction over the transcript shape
+# --------------------------------------------------------------------------
+
+_TURN_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("main_text", StringType()),
+        StructField("n_blocks_kept", IntegerType()),
+        StructField("span_start", IntegerType()),
+        StructField("span_end", IntegerType()),
+    ]
+)
+
+
+def _register_turn_payload():
+    from ocr_spark.queries.derive import with_transcripts
+
+    @_register(
+        "turn_payload_extract",
+        with_transcripts(f"""
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+       CASE WHEN nw >= 5 THEN norm ELSE '' END AS main_text,
+       CAST(CASE WHEN nw >= 5 THEN 1 ELSE 0 END AS INTEGER) AS n_blocks_kept,
+       CAST(CASE WHEN nw >= 5 THEN {_PREFIX_LEN} ELSE -1 END AS INTEGER) AS span_start,
+       CAST(CASE WHEN nw >= 5 THEN {_PREFIX_LEN} + length(text) ELSE -1 END AS INTEGER)
+         AS span_end
+FROM (
+  SELECT conv_id, turn_idx, text,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm,
+         len(str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS nw
+  FROM transcripts
+)
+"""),
+    )
+    def turn_payload_extract(spark, sf_dir):
+        """The north_star sentence verbatim, over the input_hint table
+        shape: "each turn's raw text payload ... pushed through ...
+        boilerplate classification ... emitting cleaned main-content
+        text plus character-span offsets PER TURN".  Every transcript
+        turn's text is wrapped in the standard page chrome (nav, ad
+        block, footer) and the Boilerpipe-style kernel classifies
+        blocks by text/link density per turn — keyed by (conv_id,
+        turn_idx) so per-turn text equality under stable turn ordering
+        is directly checkable.  Short answers ("D", "North ...") are
+        correctly classified boilerplate (min-words rule) — the oracle
+        states that closed-form (kept iff >= 5 normalized words, spans
+        into the raw payload).  Map-only: one Arrow batch per task, no
+        shuffle (plan-guarded)."""
+        from ocr_spark.kernels.layout import strip_boilerplate
+        from ocr_spark.queries.derive import derived_transcripts
+
+        t = derived_transcripts(spark, sf_dir).select(
+            "conv_id",
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            F.concat(
+                F.lit(_HTML_PREFIX), F.col("text"), F.lit(_HTML_SUFFIX)
+            ).alias("html"),
+        )
+
+        def run(batches):
+            for pdf in batches:
+                outs = [strip_boilerplate(h) for h in pdf["html"]]
+                yield pd.DataFrame(
+                    {
+                        "conv_id": pdf["conv_id"],
+                        "turn_idx": pdf["turn_idx"],
+                        "main_text": [t for t, _ in outs],
+                        "n_blocks_kept": [len(s) for _, s in outs],
+                        "span_start": [s[0][0] if s else -1 for _, s in outs],
+                        "span_end": [s[0][1] if s else -1 for _, s in outs],
+                    }
+                )
+
+        return t.mapInPandas(run, schema=_TURN_SCHEMA)
+
+
+_register_turn_payload()

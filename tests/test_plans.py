@@ -343,3 +343,11 @@ def test_pq_encode_is_map_only(spark):
     p = _plan(QUERIES["pq_encode"](spark, SF_DIR_ORACLE))
     assert "Exchange" not in p
     assert "MapInPandas" in p
+
+
+def test_turn_payload_extract_is_map_only(spark):
+    """turn_payload_extract: per-turn extraction over the transcript
+    shape is one Arrow MapInPandas over the derivation — no shuffle."""
+    p = _plan(QUERIES["turn_payload_extract"](spark, SF_DIR_ORACLE))
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
