@@ -53,7 +53,7 @@ _DRIVER_PRIORITY = [
     # reflow + Gopher rule filter
     "pii_scrub", "tfidf_top_terms", "ocr_page_reflow",
     "gopher_quality_filter", "kmeans_train", "pq_encode",
-    "turn_payload_extract",
+    "turn_payload_extract", "j9_star_join_share",
     # -- 2: latest driver evidence is r1/r2 (rotated out of r3's window) --
     "p1_turn_merge", "x3_render", "x4_marker_split", "x2_extract_answer",
     "x8_block_classify", "x1_parse_imports", "x6_span_count",
@@ -74,7 +74,9 @@ _DRIVER_PRIORITY = [
     # (x6_char_spans rotated out for the late turn_payload_extract
     #  addition; pytest parity still checks it every run)
     "dedup_exact", "dedup_minhash_signatures",
-    "stratified_sample", "ann_cosine_topk", "j8_pairwise_cosine",
+    # (stratified_sample rotated out for the late j9_star_join_share
+    #  addition; pytest parity still checks it every run)
+    "ann_cosine_topk", "j8_pairwise_cosine",
     "a9_vector_mean", "text_quality", "lang_id",
     # (token_count_ws, doc_fingerprint, a4_ratio_of_sums, a8_cumlogsum,
     #  a10_kl_divergence, w6_interpolation_sweep rotated out to make

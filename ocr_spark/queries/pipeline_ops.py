@@ -2008,3 +2008,54 @@ def pq_encode(spark, sf_dir):
             yield pd.DataFrame(recs)
 
     return emb.mapInPandas(encode, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Star-schema broadcast join (TPC-H Q14-shaped revenue share by part type)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "j9_star_join_share",
+    """
+SELECT p_type, revenue_c2,
+       CAST(revenue_c2 AS DOUBLE) / CAST(sum(revenue_c2) OVER () AS DOUBLE) AS share
+FROM (
+  SELECT p.p_type,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_c2
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_type
+)
+""",
+)
+def j9_star_join_share(spark, sf_dir):
+    """Classic star-schema rollup (TPC-H Q14 shape): discounted revenue
+    share by part type — the fact table joins the part dimension and
+    rolls up to a handful of rows.  Scale shape: the dimension is
+    BROADCAST (no shuffle of the fact side for the join) and the
+    group-by partially aggregates map-side to |p_type| rows per task;
+    the only exchange carries a few rows per partition.  Revenue is
+    exact integer hundredth-cents (cents x (100 - discount_pct)) so
+    reduce order cannot flip bits; at a true 10^12-row fact table the
+    accumulator would be DECIMAL(38) — int64 documented headroom here
+    is ~9e18.  The share divides two identical integers as doubles in
+    both engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.round(F.col("l_extendedprice") * 100).cast("long")
+         * (100 - F.round(F.col("l_discount") * 100).cast("long"))).alias("rev"),
+    )
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    per = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_type")
+        .agg(F.sum("rev").alias("revenue_c2"))
+    )
+    w_all = Window.partitionBy()
+    return per.select(
+        "p_type",
+        "revenue_c2",
+        (F.col("revenue_c2").cast("double")
+         / F.sum("revenue_c2").over(w_all).cast("double")).alias("share"),
+    )

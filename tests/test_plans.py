@@ -351,3 +351,12 @@ def test_turn_payload_extract_is_map_only(spark):
     p = _plan(QUERIES["turn_payload_extract"](spark, SF_DIR_ORACLE))
     assert "Exchange" not in p
     assert "MapInPandas" in p
+
+
+def test_star_join_is_broadcast(spark):
+    """j9_star_join_share: the part dimension broadcasts — the fact
+    side never shuffles for the join; the only exchanges are the tiny
+    per-type aggregation and the scalar-total window."""
+    p = _plan(QUERIES["j9_star_join_share"](spark, SF_DIR_ORACLE))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
