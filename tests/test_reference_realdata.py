@@ -40,6 +40,7 @@ _PRECONDITION_ORACLES = {
     "html_boilerplate_strip",
     "pdf_reading_order",
     "mm_format_sniff",
+    "ocr_page_reflow",  # closed-form oracle assumes the clean-corpus charset
 }
 
 
