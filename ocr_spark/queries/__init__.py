@@ -8,6 +8,7 @@ import ocr_spark.queries.extraction_docs  # noqa: F401
 import ocr_spark.queries.multiturn  # noqa: F401
 import ocr_spark.queries.ngram_ops  # noqa: F401
 import ocr_spark.queries.agent_ops  # noqa: F401
+import ocr_spark.queries.ccnet_ops  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.  The driver's correctness gate checks the
@@ -54,17 +55,24 @@ _DRIVER_PRIORITY = [
     "pii_scrub", "tfidf_top_terms", "ocr_page_reflow",
     "gopher_quality_filter", "kmeans_train", "pq_encode",
     "turn_payload_extract", "j9_star_join_share",
+    # CCNet completion pair + chunking + normalization + allocation (NEW)
+    "line_dedup", "lm_bigram_score", "doc_chunk_windows",
+    "text_normalize", "sample_alloc", "ccnet_head_middle_tail",
     # -- 2: latest driver evidence is r1/r2 (rotated out of r3's window) --
     "p1_turn_merge", "x3_render", "x4_marker_split", "x2_extract_answer",
     "x8_block_classify", "x1_parse_imports", "x6_span_count",
-    "p4_substitute", "x9_regex_field",
+    # (p4_substitute, x9_regex_field, j2_contains_join rotated out for
+    #  the CCNet pair + doc_chunk_windows; pytest parity checks them
+    #  every run)
     # (p10_sanitize rotated out for the late gopher_quality_filter
     #  addition; pytest parity still checks it every run)
-    "j1_broadcast_lookup", "j2_contains_join",
+    # (j1_broadcast_lookup rotated out for ccnet_head_middle_tail; its
+    #  2-BHJ plan stays asserted in tests and pytest parity checks it)
     # (j4_cross_expand, j6_anti_join also rotated out for the two late
     #  additions — same rule as the note below)
-    "a1_grouped_accuracy",
-    "a2_rollup", "a5_topk_per_group",
+    # (a1_grouped_accuracy, a2_rollup rotated out for text_normalize +
+    #  sample_alloc; pytest parity checks them every run)
+    "a5_topk_per_group",
     # (a5_topk rotated out for the late ocr_page_reflow addition — its
     #  harder per-group variant stays in; pytest parity checks both)
     # (a14_shift_compare rotated out for the late kmeans_train

@@ -1,0 +1,455 @@
+"""CCNet-shaped corpus-cleaning operators + training-window chunking.
+
+Completes the canonical web-scale cleaning pipeline of Wenzek et al.
+2020 ("CCNet: Extracting High Quality Monolingual Datasets from Web
+Crawl Data"): the repo already has the language-ID stage (``lang_id``)
+and rule filters (``gopher_quality_filter``); this module adds the two
+missing stages —
+
+- **paragraph/line dedup** (`line_dedup`): drop every line whose exact
+  text occurs in more than one conversation, corpus-wide (CCNet §4.2's
+  per-paragraph hash dedup; on transcript payloads the "paragraph" is
+  a line of the turn text).  Boilerplate like repeated MCQ option
+  lists disappears from every conversation at once.
+- **LM fluency scoring** (`lm_bigram_score`): score each document by
+  the mean conditional probability of its word bigrams under a model
+  trained on the corpus itself (CCNet §4.3 scores with a KenLM 5-gram
+  and keeps the head/middle of the perplexity distribution; the
+  relational shape — train counts with one shuffle, broadcast the
+  model, score map-side — is identical).  The sandbox variant uses
+  exact fixed-point conditional probabilities instead of log-space
+  perplexity so the DuckDB oracle matches bit-for-bit: ``ln`` is not
+  IEEE-correctly-rounded and Java ``Math.log`` vs libm may differ by
+  1 ulp, while ``(1000000 * c12) div c1`` is the same integer in any
+  engine.  A production deployment swaps the per-bigram score column
+  for KenLM log10-probs; every plan property is unchanged.
+
+plus the universal pre-training reshape CCNet feeds into:
+
+- **training-window chunking** (`doc_chunk_windows`): split each
+  document into fixed-width word windows with stride overlap (the
+  max_len-chunking every LM dataloader applies; reference analog:
+  config.json ``max_len=128`` truncation, here as non-lossy windows).
+
+Scale notes (100 TB): `doc_chunk_windows` is map-only — zero
+exchanges, fuses into the parquet scan.  `lm_bigram_score` shuffles
+bigram COUNT rows (vocab²-bounded, tiny vs the corpus) and broadcasts
+the model so the occurrence side is never shuffled for the join; the
+final per-doc aggregation shuffles only (doc_id, p_micro) micro-rows
+with map-side partial sums.  `line_dedup` shuffles the line set once
+for the duplicate-detection window (same min!=max-over-window pattern
+as ``dedup_span_ngram`` — no count-distinct) and once to reassemble
+per conversation; ultra-hot boilerplate lines skew the window
+partition, which AQE skew-join/partition splitting handles since the
+per-line state is two string extremes, not a buffered group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ocr_spark.queries.catalog import _register, _t
+from ocr_spark.queries.derive import derived_transcripts, with_transcripts
+
+# ---------------------------------------------------------------------------
+# line-level corpus dedup (CCNet paragraph dedup on transcript payloads)
+# ---------------------------------------------------------------------------
+
+_LINE_DEDUP_SQL = with_transcripts("""
+, l AS (
+  SELECT conv_id, i AS line_idx, list_extract(lines, i) AS line
+  FROM (
+    SELECT conv_id, lines,
+           unnest(generate_series(1, len(lines))) AS i
+    FROM (SELECT conv_id, str_split(text, chr(10)) AS lines
+          FROM transcripts WHERE role = 'user')
+  )
+),
+f AS (
+  SELECT conv_id, line_idx, line,
+         min(conv_id) OVER (PARTITION BY line)
+           <> max(conv_id) OVER (PARTITION BY line) AS is_dup
+  FROM l
+)
+SELECT conv_id,
+       coalesce(string_agg(line, chr(10) ORDER BY line_idx)
+                FILTER (WHERE NOT is_dup), '') AS clean_text,
+       CAST(count(*) FILTER (WHERE NOT is_dup) AS INTEGER) AS n_kept,
+       CAST(count(*) FILTER (WHERE is_dup) AS INTEGER) AS n_dropped
+FROM f
+GROUP BY conv_id
+""")
+
+
+def line_dedup_core(turns):
+    """Core of :func:`line_dedup` over any ``(conv_id, text)`` frame —
+    factored so tests can pin the semantics on planted boilerplate."""
+    lines = turns.select(
+        "conv_id", F.posexplode(F.split("text", "\n")).alias("line_idx", "line")
+    )
+    w = Window.partitionBy("line")
+    flagged = lines.withColumn(
+        "is_dup", F.min("conv_id").over(w) != F.max("conv_id").over(w)
+    )
+    kept = F.filter(
+        F.array_sort(F.collect_list(F.struct("line_idx", "is_dup", "line"))),
+        lambda x: ~x.is_dup,
+    )
+    return flagged.groupBy("conv_id").agg(
+        F.array_join(F.transform(kept, lambda x: x.line), "\n").alias("clean_text"),
+        F.sum(F.when(~F.col("is_dup"), 1).otherwise(0)).cast("int").alias("n_kept"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("int").alias("n_dropped"),
+    )
+
+
+@_register("line_dedup", _LINE_DEDUP_SQL)
+def line_dedup(spark, sf_dir):
+    """CCNet-style cross-document line dedup over user-turn payloads.
+
+    A line is boilerplate iff its exact text occurs in MORE THAN ONE
+    conversation anywhere in the corpus; all its occurrences are
+    removed (CCNet removes every copy of a duplicated paragraph, not
+    just the later ones).  Within-conversation repeats survive.
+    Detection is min(conv_id) != max(conv_id) over a window keyed by
+    the line text — no count-distinct, and the two string extremes
+    aggregate with partial combine.  Emits the reassembled clean text
+    (original line order) plus kept/dropped counts for reject lineage.
+    """
+    t = derived_transcripts(spark, sf_dir).filter(F.col("role") == "user")
+    return line_dedup_core(t)
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM fluency scoring (CCNet perplexity stage, exact-arithmetic form)
+# ---------------------------------------------------------------------------
+
+_LM_SQL = """
+WITH bg AS (
+  SELECT doc_id,
+         list_extract(words, i) || ' ' || list_extract(words, i + 1) AS bgram
+  FROM (
+    SELECT doc_id, words,
+           unnest(generate_series(1, len(words) - 1)) AS i
+    FROM (SELECT doc_id, str_split(text, ' ') AS words FROM documents)
+  )
+),
+model AS (
+  SELECT bgram, count(*) AS c12, str_split(bgram, ' ')[1] AS w1
+  FROM bg GROUP BY bgram
+),
+modelp AS (
+  SELECT bgram,
+         CAST((1000000 * c12) // (sum(c12) OVER (PARTITION BY w1)) AS BIGINT)
+           AS p_micro
+  FROM model
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(p_micro) AS BIGINT) AS sum_p_micro,
+       CAST(sum(p_micro) AS DOUBLE) / (count(*) * 1000000) AS mean_cond_p,
+       CAST(min(p_micro) AS BIGINT) AS min_p_micro
+FROM bg JOIN modelp USING (bgram)
+GROUP BY doc_id
+"""
+
+#: Per-occurrence bigram list ("w1 w2" strings); <2-word docs yield an
+#: empty array in BOTH engines (Spark's sequence(1, 0) would step DOWN
+#: — same guard rationale as _GRAMS_EXPR in pipeline_ops).
+_BG_EXPR = (
+    "CASE WHEN size(split(text, ' ')) >= 2"
+    " THEN transform(sequence(1, size(split(text, ' ')) - 1),"
+    "      i -> concat(element_at(split(text, ' '), i), ' ',"
+    "                  element_at(split(text, ' '), i + 1)))"
+    " ELSE array() END"
+)
+
+
+@_register("lm_bigram_score", _LM_SQL)
+def lm_bigram_score(spark, sf_dir):
+    """LM fluency score per document (CCNet §4.3's perplexity filter,
+    exact-arithmetic surrogate — see module docstring for why not ln).
+
+    Train: corpus bigram counts c12 in ONE groupBy shuffle; the
+    conditional denominator c1 = sum(c12) over w1 reuses those count
+    rows (window over the aggregated model, never the occurrences).
+    Score: p_micro = (10^6 * c12) div c1 — exact integer — joined back
+    to per-occurrence bigrams with the model BROADCAST (vocab²-bounded;
+    at web scale gate on spark.sql.autoBroadcastJoinThreshold and fall
+    back to a shuffle join of count rows), then one per-doc aggregation
+    whose sums partial-combine map-side.  Emits mean and min
+    conditional probability; docs under 2 words have no bigrams and are
+    absent in both engines.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", F.explode(F.expr(_BG_EXPR)).alias("bgram"))
+    model = (
+        occ.groupBy("bgram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .withColumn("w1", F.element_at(F.split("bgram", " ", 2), 1))
+        .withColumn("c1", F.sum("c12").over(Window.partitionBy("w1")))
+        .select("bgram", F.expr("(1000000 * c12) div c1").alias("p_micro"))
+    )
+    return (
+        occ.join(F.broadcast(model), "bgram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("p_micro").cast("long").alias("sum_p_micro"),
+            (
+                F.sum("p_micro").cast("double")
+                / (F.count(F.lit(1)) * F.lit(1000000))
+            ).alias("mean_cond_p"),
+            F.min("p_micro").cast("long").alias("min_p_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# fixed-width training-window chunking with stride overlap
+# ---------------------------------------------------------------------------
+
+#: Window width / stride in words (overlap = width - stride), the
+#: standard LM-dataloader chunking shape (reference analog: max_len=128
+#: truncation in config.json — windows instead of lossy truncation).
+_CHUNK_W = 64
+_CHUNK_S = 48
+
+_CHUNK_SQL = f"""
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_idx,
+       CAST((i - 1) * {_CHUNK_S} + 1 AS INTEGER) AS start_word,
+       CAST(len(list_slice(words, (i - 1) * {_CHUNK_S} + 1,
+                           least((i - 1) * {_CHUNK_S} + {_CHUNK_W}, n)))
+            AS INTEGER) AS n_words_chunk,
+       array_to_string(list_slice(words, (i - 1) * {_CHUNK_S} + 1,
+                                  least((i - 1) * {_CHUNK_S} + {_CHUNK_W}, n)),
+                       ' ') AS chunk_text
+FROM (
+  SELECT doc_id, words, len(words) AS n,
+         unnest(generate_series(1,
+           CASE WHEN len(words) <= {_CHUNK_W} THEN 1
+                ELSE CAST((len(words) - {_CHUNK_W} + {_CHUNK_S} - 1)
+                          // {_CHUNK_S} AS BIGINT) + 1 END)) AS i
+  FROM (SELECT doc_id, str_split(text, ' ') AS words FROM documents)
+)
+"""
+
+_N_CHUNKS_EXPR = (
+    f"CASE WHEN size(split(text, ' ')) <= {_CHUNK_W} THEN 1"
+    f" ELSE (size(split(text, ' ')) - {_CHUNK_W} + {_CHUNK_S} - 1)"
+    f" div {_CHUNK_S} + 1 END"
+)
+
+
+@_register("doc_chunk_windows", _CHUNK_SQL)
+def doc_chunk_windows(spark, sf_dir):
+    """Split every document into 64-word training windows at stride 48
+    (16-word overlap); the final window is the ragged tail, and a doc
+    of <= 64 words is exactly one window.  Map-only: the explode over
+    a computed sequence fuses into the parquet scan — zero exchanges at
+    any scale (plan-guarded), the shape that survives 100 TB trivially.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    chunked = docs.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(1), F.expr(_N_CHUNKS_EXPR).cast("int")))
+        .alias("chunk_idx"),
+    )
+    start = (F.col("chunk_idx") - 1) * _CHUNK_S + 1
+    chunk_words = F.slice(F.split("text", " "), start, F.lit(_CHUNK_W))
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("start_word"),
+        F.size(chunk_words).cast("int").alias("n_words_chunk"),
+        F.array_join(chunk_words, " ").alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# unicode/whitespace normalization (the pre-dedup cleanup pass)
+# ---------------------------------------------------------------------------
+
+#: 1:1 codepoint folds: curly quotes -> straight, em/en dash -> hyphen,
+#: NBSP -> space.  All BMP, so Spark's UTF-16 translate and DuckDB's
+#: codepoint translate agree.
+_NORM_FROM = "’‘“”—– "
+_NORM_TO = "''\"\"-- "
+_ASCII_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
+#: C0 controls except tab/newline/CR (those are whitespace, collapsed
+#: by the next step).  Plain hex ranges — identical in Java regex and
+#: RE2.
+_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+_WS_RE = "[ \\t\\n\\r]+"
+
+_NORM_SQL = f"""
+SELECT doc_id,
+       norm_text,
+       CAST(length(text) - length(norm_text) AS INTEGER) AS n_chars_removed,
+       text <> norm_text AS changed
+FROM (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           regexp_replace(
+             translate(translate(text, '{_NORM_FROM}', e'\\'\\'""-- '),
+                       '{_ASCII_UP}', '{_ASCII_LO}'),
+             '{_CTRL_RE}', '', 'g'),
+           '{_WS_RE}', ' ', 'g')) AS norm_text
+  FROM documents
+)
+"""
+
+
+@_register("text_normalize", _NORM_SQL)
+def text_normalize(spark, sf_dir):
+    """Unicode/whitespace normalization — the cleanup pass that runs
+    BEFORE any hash-keyed dedup so near-identical byte variants (curly
+    vs straight quotes, NBSP, case) collide onto one key.  Folds curly
+    quotes/dashes/NBSP to ASCII (1:1 BMP translate — identical in
+    Spark's UTF-16 and DuckDB's codepoint semantics), lowercases
+    ASCII only (Java toLowerCase vs utf8proc diverge on exotic
+    codepoints like U+0130, so the fold is an explicit A-Z translate),
+    strips C0 controls, and collapses all whitespace runs to single
+    spaces.  Pure native expressions — map-only whole-stage codegen at
+    any scale (plan-guarded).  Emits the normalized text, removed-char
+    count, and a changed flag for lineage."""
+    docs = _t(spark, sf_dir, "documents")
+    folded = F.translate(
+        F.translate(F.col("text"), _NORM_FROM, _NORM_TO), _ASCII_UP, _ASCII_LO
+    )
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(folded, _CTRL_RE, ""), _WS_RE, " ")
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (F.length("text") - F.length(norm)).cast("int").alias("n_chars_removed"),
+        (F.col("text") != norm).alias("changed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# largest-remainder sample-budget allocation across sources
+# ---------------------------------------------------------------------------
+
+#: Sampling budget to apportion (prime, so remainders are exercised).
+_ALLOC_B = 97
+
+_ALLOC_SQL = f"""
+WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+t AS (SELECT source, n_docs, CAST(sum(n_docs) OVER () AS BIGINT) AS n FROM c),
+b AS (SELECT source, n_docs, n,
+             ({_ALLOC_B} * n_docs) // n AS base,
+             {_ALLOC_B} * n_docs - (({_ALLOC_B} * n_docs) // n) * n AS rem
+      FROM t),
+r AS (SELECT *, {_ALLOC_B} - CAST(sum(base) OVER () AS BIGINT) AS leftover,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk
+      FROM b)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(rem AS BIGINT) AS remainder,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS INTEGER) AS alloc
+FROM r
+"""
+
+
+@_register("sample_alloc", _ALLOC_SQL)
+def sample_alloc(spark, sf_dir):
+    """Largest-remainder (Hamilton) apportionment of a sampling budget
+    across sources, proportional to source size — the exact-integer
+    allocator that turns a corpus mix spec into per-source sample
+    counts (the deterministic core of source-mixing recipes a la
+    DoReMi; pairs with ``stratified_sample``, which then draws each
+    source's quota).  base = (B*c_s) div N, and the B - sum(base)
+    leftovers go to the largest integer remainders B*c_s - base*N with
+    a name tie-break — every step is int64 arithmetic, bit-exact in
+    both engines.  The windows run over the AGGREGATED per-source
+    table (k rows, k = #sources), so the single-partition exchange is
+    k-row tiny at any corpus scale — same justification as the
+    per-bucket-count aggregate in w4_stride_sample."""
+    docs = _t(spark, sf_dir, "documents")
+    wall = Window.partitionBy()
+    c = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("n", F.sum("n_docs").over(wall))
+        .withColumn("base", F.expr(f"({_ALLOC_B} * n_docs) div n"))
+        .withColumn("rem", F.expr(f"{_ALLOC_B} * n_docs - (({_ALLOC_B} * n_docs) div n) * n"))
+        .withColumn("leftover", F.lit(_ALLOC_B) - F.sum("base").over(wall))
+        .withColumn(
+            "rk",
+            F.row_number().over(wall.orderBy(F.desc("rem"), "source")),
+        )
+    )
+    return c.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("rem").cast("long").alias("remainder"),
+        (F.col("base") + (F.col("rk") <= F.col("leftover")).cast("long"))
+        .cast("int")
+        .alias("alloc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# head/middle/tail fluency bucketing (CCNet's perplexity terciles)
+# ---------------------------------------------------------------------------
+
+#: The per-doc score as ONE exact int64 (mean conditional probability
+#: in nano units) so the tercile cutpoints aggregate over integers.
+_NANO_EXPR_SQL = "CAST((1000 * sum_p_micro) // n_bigrams AS BIGINT)"
+
+_BUCKET_SQL = f"""
+WITH lm AS ({_LM_SQL}),
+s AS (SELECT doc_id, {_NANO_EXPR_SQL} AS mean_p_nano FROM lm),
+cuts AS (
+  SELECT quantile_cont(mean_p_nano, 0.3333333333333333) AS c1,
+         quantile_cont(mean_p_nano, 0.6666666666666666) AS c2
+  FROM s
+)
+SELECT doc_id, mean_p_nano,
+       CASE WHEN mean_p_nano > c2 THEN 'head'
+            WHEN mean_p_nano > c1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM s, cuts
+"""
+
+
+@_register("ccnet_head_middle_tail", _BUCKET_SQL)
+def ccnet_head_middle_tail(spark, sf_dir):
+    """CCNet §4.3's head/middle/tail split: bucket every document into
+    fluency terciles of the corpus (head = most fluent third, the slice
+    CCNet keeps for LM training).  Two-pass, scale-safe: pass 1 reduces
+    each doc to ONE exact int64 (mean conditional probability in nano
+    units, ``(1000*sum_p_micro) div n_bigrams``); the tercile cutpoints
+    aggregate those integers with Spark's exact ``percentile`` (a
+    map-side-combinable counts-map — no global sort, the same proven
+    cross-engine primitive as a12_distribution_stats); pass 2 broadcasts
+    the 1-row cutpoints and buckets map-side.  The interpolated
+    cutpoints are doubles computed from identical integer inputs; a doc
+    flips buckets only if its integer score sits within 1 ulp of an
+    interpolated cut, which integer scores never do in practice
+    (cutpoints land strictly between integers unless the rank is
+    exact)."""
+    lm = lm_bigram_score(spark, sf_dir)
+    s = lm.select(
+        "doc_id",
+        F.expr("(1000 * sum_p_micro) div n_bigrams").cast("long")
+        .alias("mean_p_nano"),
+    )
+    cuts = s.agg(
+        F.percentile(F.col("mean_p_nano"), F.lit(0.3333333333333333)).alias("c1"),
+        F.percentile(F.col("mean_p_nano"), F.lit(0.6666666666666666)).alias("c2"),
+    )
+    return (
+        s.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id", "mean_p_nano",
+            F.when(F.col("mean_p_nano") > F.col("c2"), F.lit("head"))
+            .when(F.col("mean_p_nano") > F.col("c1"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

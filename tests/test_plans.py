@@ -360,3 +360,65 @@ def test_star_join_is_broadcast(spark):
     p = _plan(QUERIES["j9_star_join_share"](spark, SF_DIR_ORACLE))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_doc_chunk_windows_is_map_only(spark):
+    """doc_chunk_windows: the sequence-explode chunker fuses into the
+    parquet scan — zero exchanges, no Python, at any scale."""
+    p = _plan(QUERIES["doc_chunk_windows"](spark, SF_DIR_ORACLE))
+    assert "Exchange" not in p
+    assert "Python" not in p and "MapInPandas" not in p
+    assert "Generate explode" in p
+
+
+def test_lm_bigram_score_broadcasts_the_model(spark):
+    """lm_bigram_score: the scoring join must BROADCAST the vocab²-
+    bounded model — the per-occurrence bigram side never shuffles for
+    the join.  The only hash exchanges are the model's count groupBy,
+    its w1 conditional-denominator window, and the final per-doc
+    rollup (micro-rows with map-side partial sums)."""
+    p = _plan(QUERIES["lm_bigram_score"](spark, SF_DIR_ORACLE))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 3
+    assert "partial_sum" in p  # doc rollup combines map-side
+
+
+def test_line_dedup_is_two_shuffles_no_join(spark):
+    """line_dedup: duplicate detection is min!=max over ONE window
+    exchange on the line text (no count-distinct, no join-back), and
+    reassembly is one conv_id exchange — two shuffles total."""
+    p = _plan(QUERIES["line_dedup"](spark, SF_DIR_ORACLE))
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "Join" not in p
+
+
+def test_text_normalize_is_pure_map(spark):
+    """text_normalize: native translate/regexp chain only — no
+    exchange, no Python; fuses into the scan."""
+    p = _plan(QUERIES["text_normalize"](spark, SF_DIR_ORACLE))
+    assert "Exchange" not in p
+    assert "Python" not in p and "MapInPandas" not in p
+
+
+def test_sample_alloc_shuffles_only_count_rows(spark):
+    """sample_alloc: the corpus shuffles once as (source) partial-count
+    rows; every later step (global sum, remainder rank) runs on the
+    k-row aggregated table, so its SinglePartition exchanges carry k
+    rows, never documents."""
+    p = _plan(QUERIES["sample_alloc"](spark, SF_DIR_ORACLE))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in p
+    assert "Join" not in p
+
+
+def test_ccnet_bucketing_cuts_aggregate_map_side(spark):
+    """ccnet_head_middle_tail: the tercile cutpoints must come from
+    Spark's partial-aggregating exact percentile (map-side
+    partial_percentile, one tiny SinglePartition merge) and ride a
+    broadcast into the bucketing — never a global sort of the scores."""
+    p = _plan(QUERIES["ccnet_head_middle_tail"](spark, SF_DIR_ORACLE))
+    assert "partial_percentile" in p
+    assert p.count("Exchange SinglePartition") <= 1
+    assert "BroadcastNestedLoopJoin" in p  # 1-row cuts cross-broadcast
+    assert "SortMergeJoin" not in p
