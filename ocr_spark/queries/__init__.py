@@ -58,6 +58,7 @@ _DRIVER_PRIORITY = [
     # CCNet completion pair + chunking + normalization + allocation (NEW)
     "line_dedup", "lm_bigram_score", "doc_chunk_windows",
     "text_normalize", "sample_alloc", "ccnet_head_middle_tail",
+    "clean_corpus",
     # -- 2: latest driver evidence is r1/r2 (rotated out of r3's window) --
     "p1_turn_merge", "x3_render", "x4_marker_split", "x2_extract_answer",
     "x8_block_classify", "x1_parse_imports", "x6_span_count",
@@ -72,9 +73,8 @@ _DRIVER_PRIORITY = [
     #  additions — same rule as the note below)
     # (a1_grouped_accuracy, a2_rollup rotated out for text_normalize +
     #  sample_alloc; pytest parity checks them every run)
-    "a5_topk_per_group",
-    # (a5_topk rotated out for the late ocr_page_reflow addition — its
-    #  harder per-group variant stays in; pytest parity checks both)
+    # (a5_topk_per_group rotated out for clean_corpus — a5_topk was
+    #  already out for ocr_page_reflow; pytest parity checks both)
     # (a14_shift_compare rotated out for the late kmeans_train
     #  addition; pytest parity still checks it every run)
     # (w2_seeded_split rotated out for the late pq_encode addition;

@@ -284,19 +284,32 @@ _ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
 _CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
 _WS_RE = "[ \\t\\n\\r]+"
 
+def norm_col(col):
+    """The normalization chain as a reusable Column (shared by
+    text_normalize and clean_corpus)."""
+    folded = F.translate(F.translate(col, _NORM_FROM, _NORM_TO), _ASCII_UP, _ASCII_LO)
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(folded, _CTRL_RE, ""), _WS_RE, " ")
+    )
+
+
+def sql_norm(expr: str) -> str:
+    """The same chain as DuckDB SQL text over a column expression."""
+    return (
+        f"trim(regexp_replace(regexp_replace("
+        f"translate(translate({expr}, '{_NORM_FROM}', e'\\'\\'\"\"-- '), "
+        f"'{_ASCII_UP}', '{_ASCII_LO}'), "
+        f"'{_CTRL_RE}', '', 'g'), '{_WS_RE}', ' ', 'g'))"
+    )
+
+
 _NORM_SQL = f"""
 SELECT doc_id,
        norm_text,
        CAST(length(text) - length(norm_text) AS INTEGER) AS n_chars_removed,
        text <> norm_text AS changed
 FROM (
-  SELECT doc_id, text,
-         trim(regexp_replace(
-           regexp_replace(
-             translate(translate(text, '{_NORM_FROM}', e'\\'\\'""-- '),
-                       '{_ASCII_UP}', '{_ASCII_LO}'),
-             '{_CTRL_RE}', '', 'g'),
-           '{_WS_RE}', ' ', 'g')) AS norm_text
+  SELECT doc_id, text, {sql_norm('text')} AS norm_text
   FROM documents
 )
 """
@@ -316,12 +329,7 @@ def text_normalize(spark, sf_dir):
     any scale (plan-guarded).  Emits the normalized text, removed-char
     count, and a changed flag for lineage."""
     docs = _t(spark, sf_dir, "documents")
-    folded = F.translate(
-        F.translate(F.col("text"), _NORM_FROM, _NORM_TO), _ASCII_UP, _ASCII_LO
-    )
-    norm = F.trim(
-        F.regexp_replace(F.regexp_replace(folded, _CTRL_RE, ""), _WS_RE, " ")
-    )
+    norm = norm_col(F.col("text"))
     return docs.select(
         "doc_id",
         norm.alias("norm_text"),
@@ -452,4 +460,106 @@ def ccnet_head_middle_tail(spark, sf_dir):
             .otherwise(F.lit("tail"))
             .alias("bucket"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# the composed cleaning pipeline: normalize -> dedup -> rule filter
+# ---------------------------------------------------------------------------
+
+def _clean_sql() -> str:
+    from ocr_spark.queries.pipeline_ops import _SQL_GOPHER_REQ
+
+    return f"""
+WITH n AS (
+  SELECT doc_id, {sql_norm('text')} AS norm_text FROM documents
+),
+d AS (
+  SELECT doc_id, norm_text,
+         doc_id <> min(doc_id) OVER (PARTITION BY norm_text) AS is_dup
+  FROM n
+),
+g AS (
+  SELECT doc_id, is_dup,
+         len(words) AS n_words,
+         CAST(length(replace(norm_text, ' ', '')) AS DOUBLE) / len(words)
+           AS mean_word_len,
+         CAST(len(list_filter(words, w -> starts_with(w, '#')
+                                          OR contains(w, '...'))) AS DOUBLE)
+           / len(words) AS symbol_word_ratio,
+         CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+              AS DOUBLE) / len(words) AS alpha_word_ratio,
+         CAST(len(list_intersect(list_distinct(words), [{_SQL_GOPHER_REQ}]))
+              AS INTEGER) AS n_required_stops
+  FROM (SELECT doc_id, is_dup, norm_text,
+               str_split(norm_text, ' ') AS words FROM d)
+)
+SELECT doc_id, verdict, verdict = 'kept' AS kept, n_words
+FROM (
+  SELECT doc_id,
+         CASE WHEN is_dup THEN 'duplicate'
+              WHEN n_words NOT BETWEEN 50 AND 100000 THEN 'word_count'
+              WHEN mean_word_len NOT BETWEEN 3.0 AND 10.0 THEN 'word_length'
+              WHEN symbol_word_ratio >= 0.1 THEN 'symbol_ratio'
+              WHEN alpha_word_ratio < 0.8 THEN 'alpha_ratio'
+              WHEN n_required_stops < 2 THEN 'stopwords'
+              ELSE 'kept' END AS verdict,
+         CAST(n_words AS BIGINT) AS n_words
+  FROM g
+)
+"""
+
+
+@_register("clean_corpus", _clean_sql())
+def clean_corpus(spark, sf_dir):
+    """The cleaning stages composed as ONE DataFrame program — the
+    production shape: a single pass that emits a verdict for EVERY
+    input document (reject lineage, not just survivors).  Stage order
+    is the canonical one: normalize first (so byte variants collide),
+    exact-dedup on the normalized text (survivor = lowest doc_id; the
+    same min-over-window primitive as line_dedup — no count-distinct,
+    no join-back), then the Gopher rules (Rae et al. 2021, thresholds
+    identical to ``gopher_quality_filter``) on the normalized words.
+    Verdict precedence: duplicate > word_count > word_length >
+    symbol_ratio > alpha_ratio > stopwords > kept.  Plan: ONE shuffle
+    (the norm_text dedup window); normalization and every rule are
+    map-side native expressions before/after it (plan-guarded)."""
+    from ocr_spark.queries.pipeline_ops import _GOPHER_REQ
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.select("doc_id", norm_col(F.col("text")).alias("norm_text"))
+    d = n.withColumn(
+        "is_dup",
+        F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("norm_text")),
+    )
+    words = F.split(F.col("norm_text"), " ")
+    n_words = F.size(words).cast("long")
+    mean_wl = (
+        F.length(F.replace(F.col("norm_text"), F.lit(" "), F.lit(""))).cast("double")
+        / n_words
+    )
+    sym_ratio = (
+        F.size(F.filter(words, lambda w: w.startswith("#") | w.contains("...")))
+        .cast("double") / n_words
+    )
+    alpha_ratio = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / n_words
+    )
+    req = F.array(*[F.lit(w) for w in _GOPHER_REQ])
+    n_req = F.size(F.array_intersect(F.array_distinct(words), req)).cast("int")
+    verdict = (
+        F.when(F.col("is_dup"), F.lit("duplicate"))
+        .when(~n_words.between(50, 100000), F.lit("word_count"))
+        .when(~mean_wl.between(3.0, 10.0), F.lit("word_length"))
+        .when(sym_ratio >= 0.1, F.lit("symbol_ratio"))
+        .when(alpha_ratio < 0.8, F.lit("alpha_ratio"))
+        .when(n_req < 2, F.lit("stopwords"))
+        .otherwise(F.lit("kept"))
+    )
+    return d.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        (verdict == "kept").alias("kept"),
+        n_words.alias("n_words"),
     )

@@ -422,3 +422,13 @@ def test_ccnet_bucketing_cuts_aggregate_map_side(spark):
     assert p.count("Exchange SinglePartition") <= 1
     assert "BroadcastNestedLoopJoin" in p  # 1-row cuts cross-broadcast
     assert "SortMergeJoin" not in p
+
+
+def test_clean_corpus_is_one_shuffle(spark):
+    """clean_corpus: normalize + every Gopher rule are map-side; the
+    only exchange is the norm_text dedup window — one shuffle, no
+    join, no Python."""
+    p = _plan(QUERIES["clean_corpus"](spark, SF_DIR_ORACLE))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+    assert "Python" not in p and "MapInPandas" not in p
