@@ -58,10 +58,12 @@ _DRIVER_PRIORITY = [
     # CCNet completion pair + chunking + normalization + allocation (NEW)
     "line_dedup", "lm_bigram_score", "doc_chunk_windows",
     "text_normalize", "sample_alloc", "ccnet_head_middle_tail",
-    "clean_corpus",
+    "clean_corpus", "exact_substr_excise",
     # -- 2: latest driver evidence is r1/r2 (rotated out of r3's window) --
     "p1_turn_merge", "x3_render", "x4_marker_split", "x2_extract_answer",
-    "x8_block_classify", "x1_parse_imports", "x6_span_count",
+    "x8_block_classify", "x1_parse_imports",
+    # (x6_span_count rotated out for exact_substr_excise; pytest
+    #  parity checks it every run)
     # (p4_substitute, x9_regex_field, j2_contains_join rotated out for
     #  the CCNet pair + doc_chunk_windows; pytest parity checks them
     #  every run)

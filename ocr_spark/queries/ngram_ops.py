@@ -330,3 +330,108 @@ def winnowing_fingerprint(spark, sf_dir):
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style excision: remove duplicated spans, keep one copy
+# ---------------------------------------------------------------------------
+
+#: Excision window: EX_K consecutive words at stride 1 (stride 1 so
+#: coverage of a duplicated region has no gaps).
+EX_K = 4
+
+_EX_WIN_EXPR = (
+    f"CASE WHEN size(split(text, ' ')) >= {EX_K}"
+    f" THEN transform(sequence(1, size(split(text, ' ')) - {EX_K - 1}),"
+    f"      i -> struct(i AS i, array_join(slice(split(text, ' '), i, {EX_K}), ' ')"
+    f"                    AS win))"
+    " ELSE array() END"
+)
+
+
+@_register(
+    "exact_substr_excise",
+    f"""
+WITH wins AS (
+  SELECT doc_id, i, array_to_string(list_slice(w, i, i + {EX_K - 1}), ' ') AS win
+  FROM (
+    SELECT doc_id, w,
+           unnest(generate_series(1, greatest(len(w) - {EX_K - 1}, 0))) AS i
+    FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents)
+  )
+),
+flagged AS (
+  SELECT doc_id, i,
+         doc_id <> min(doc_id) OVER (PARTITION BY win) AS excise
+  FROM wins
+),
+starts AS (
+  SELECT doc_id, list_sort(list(i)) AS s
+  FROM flagged WHERE excise GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(w) AS INTEGER) AS n_words,
+       CAST(len(w) - len(kept) AS INTEGER) AS n_excised,
+       coalesce(array_to_string(kept, ' '), '') AS clean_text
+FROM (
+  SELECT doc_id, w,
+         [list_extract(w, p) FOR p IN generate_series(1, len(w))
+          IF len([x FOR x IN cs IF x <= p AND p <= x + {EX_K - 1}]) = 0] AS kept
+  FROM (
+    SELECT d.doc_id, str_split(d.text, ' ') AS w, coalesce(s.s, []) AS cs
+    FROM documents d LEFT JOIN starts s ON d.doc_id = s.doc_id
+  ) AS d0(doc_id, w, cs)
+) AS d(doc_id, w, kept)
+""",
+)
+def exact_substr_excise(spark, sf_dir):
+    """ExactSubstr dedup with keep-one-copy semantics (Lee et al. 2022
+    §3.1, word-window approximation): every {EX_K}-word span whose text
+    occurs in >= 2 distinct documents is excised from all documents
+    EXCEPT the lowest doc_id holding it (``doc_id != min(doc_id)`` over
+    the span window — the copy in the earliest doc survives, exactly
+    the paper's keep-one policy).  Overlapping duplicated spans merge
+    implicitly: a word is removed iff ANY excised window covers it, so
+    runs of duplicated windows excise as one island.
+
+    Plan: shuffle 1 = the span-text window (dup detection, same shape
+    as dedup_span_ngram); shuffle 2 = per-doc start-list aggregation
+    (sorted int array, tiny rows); shuffle 3 = doc_id equi-join of the
+    start lists back to the corpus — exchange-free when the table is
+    bucketed by doc_id (ocr_spark/bucketing.py).  The
+    coverage test + rebuild are native higher-order expressions
+    (exists/filter with index), map-side after the join."""
+    return exact_substr_core(_t(spark, sf_dir, "documents"))
+
+
+def exact_substr_core(docs):
+    """Core of :func:`exact_substr_excise` over any ``(doc_id, text)``
+    frame — factored so tests can pin keep-one-copy on planted spans."""
+    wins = docs.select(
+        "doc_id", F.explode(F.expr(_EX_WIN_EXPR)).alias("pw")
+    ).select("doc_id", F.col("pw.i").alias("i"), F.col("pw.win").alias("win"))
+    byw = Window.partitionBy("win")
+    starts = (
+        wins.withColumn("excise", F.col("doc_id") != F.min("doc_id").over(byw))
+        .filter(F.col("excise"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("i")).alias("s"))
+    )
+    joined = docs.join(starts, "doc_id", "left").select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        F.coalesce(F.col("s"), F.array().cast("array<int>")).alias("cs"),
+    )
+    kept = F.filter(
+        F.col("w"),
+        lambda x, p: ~F.exists(
+            F.col("cs"),
+            lambda s: (s <= p + 1) & (p + 1 <= s + F.lit(EX_K - 1)),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("w").cast("int").alias("n_words"),
+        (F.size("w") - F.size(kept)).cast("int").alias("n_excised"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

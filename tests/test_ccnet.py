@@ -89,3 +89,27 @@ def test_ccnet_buckets_are_terciles(spark):
     head_min = min(r["mean_p_nano"] for r in rows if r["bucket"] == "head")
     tail_max = max(r["mean_p_nano"] for r in rows if r["bucket"] == "tail")
     assert head_min > tail_max
+
+
+def test_exact_substr_excise_keeps_one_copy(spark):
+    """Planted duplicated span: the lowest doc_id keeps it, every other
+    doc loses exactly the covered words; unique text is untouched."""
+    from ocr_spark.queries.ngram_ops import exact_substr_core
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unique one tail"),
+            (2, "prefix two alpha beta gamma delta suffix two"),
+            (3, "totally different words here with nothing shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in exact_substr_core(docs).collect()}
+    # doc 1 is the lowest holder of "alpha beta gamma delta" -> intact
+    assert got[1]["clean_text"] == "alpha beta gamma delta unique one tail"
+    assert got[1]["n_excised"] == 0
+    # doc 2 loses the 4-word duplicated span, keeps its unique frame
+    assert got[2]["clean_text"] == "prefix two suffix two"
+    assert got[2]["n_excised"] == 4
+    # doc 3 shares nothing
+    assert got[3]["n_excised"] == 0

@@ -432,3 +432,14 @@ def test_clean_corpus_is_one_shuffle(spark):
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p
     assert "Python" not in p and "MapInPandas" not in p
+
+
+def test_exact_substr_excise_plan(spark):
+    """exact_substr_excise: dup detection is the span-text window, the
+    start lists aggregate per doc, and ONE doc_id equi-join carries
+    them back — no Python, no cross join, three hash exchanges plus
+    the join."""
+    p = _plan(QUERIES["exact_substr_excise"](spark, SF_DIR_ORACLE))
+    assert "Python" not in p and "MapInPandas" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 4
