@@ -9,6 +9,7 @@ import ocr_spark.queries.multiturn  # noqa: F401
 import ocr_spark.queries.ngram_ops  # noqa: F401
 import ocr_spark.queries.agent_ops  # noqa: F401
 import ocr_spark.queries.ccnet_ops  # noqa: F401
+import ocr_spark.queries.bpe_ops  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.  The driver's correctness gate checks the
@@ -58,10 +59,12 @@ _DRIVER_PRIORITY = [
     # CCNet completion pair + chunking + normalization + allocation (NEW)
     "line_dedup", "lm_bigram_score", "doc_chunk_windows",
     "text_normalize", "sample_alloc", "ccnet_head_middle_tail",
-    "clean_corpus", "exact_substr_excise",
+    "clean_corpus", "exact_substr_excise", "bpe_train",
     # -- 2: latest driver evidence is r1/r2 (rotated out of r3's window) --
     "p1_turn_merge", "x3_render", "x4_marker_split", "x2_extract_answer",
-    "x8_block_classify", "x1_parse_imports",
+    "x8_block_classify",
+    # (x1_parse_imports rotated out for bpe_train; pytest parity
+    #  checks it every run and its kernel is golden-tested)
     # (x6_span_count rotated out for exact_substr_excise; pytest
     #  parity checks it every run)
     # (p4_substitute, x9_regex_field, j2_contains_join rotated out for

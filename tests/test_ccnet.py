@@ -113,3 +113,44 @@ def test_exact_substr_excise_keeps_one_copy(spark):
     assert got[2]["n_excised"] == 4
     # doc 3 shares nothing
     assert got[3]["n_excised"] == 0
+
+
+def test_bpe_train_matches_naive_trainer(spark):
+    """The distributed trainer's merges == a from-scratch greedy BPE
+    (independent implementation: dict-of-tuples, no SQL) on a planted
+    corpus, including the count-tie name tie-break."""
+    from ocr_spark.queries.bpe_ops import BPE_ITERS, bpe_core
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "low new low",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 ["doc_id", "text"])
+    got = [(r["sym1"], r["sym2"], r["pair_count"])
+           for r in bpe_core(spark, docs).collect()]
+
+    # naive reference trainer
+    from collections import Counter
+    vocab = Counter(w for t in texts for w in t.split(" ") if w)
+    words = {w: tuple(w) for w in vocab}
+    expect = []
+    for _ in range(BPE_ITERS):
+        pc = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += vocab[w]
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((a, b, cnt))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = tuple(out)
+    assert got == expect
