@@ -59,9 +59,11 @@ _DRIVER_PRIORITY = [
     # CCNet completion pair + chunking + normalization + allocation (NEW)
     "line_dedup", "lm_bigram_score", "doc_chunk_windows",
     "text_normalize", "sample_alloc", "ccnet_head_middle_tail",
-    "clean_corpus", "exact_substr_excise", "bpe_train",
+    "clean_corpus", "exact_substr_excise", "bpe_train", "bpe_encode",
     # -- 2: latest driver evidence is r1/r2 (rotated out of r3's window) --
-    "p1_turn_merge", "x3_render", "x4_marker_split", "x2_extract_answer",
+    "p1_turn_merge", "x3_render", "x4_marker_split",
+    # (x2_extract_answer rotated out for bpe_encode; pytest parity
+    #  checks it every run and the kernel is golden-tested)
     "x8_block_classify",
     # (x1_parse_imports rotated out for bpe_train; pytest parity
     #  checks it every run and its kernel is golden-tested)

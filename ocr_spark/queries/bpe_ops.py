@@ -165,3 +165,77 @@ def bpe_core(spark, docs):
         ]
     )
     return spark.createDataFrame(merges, schema)
+
+
+# ---------------------------------------------------------------------------
+# apply the learned merges: per-document BPE token counts
+# ---------------------------------------------------------------------------
+
+def _encode_sql() -> str:
+    """Oracle: extend the trainer CTEs, carrying ``word`` so the final
+    vocab joins back to per-doc word occurrences."""
+    base = _bpe_sql().split("\nSELECT 1 AS merge_idx")[0]
+    # re-emit v0..vK carrying the word column
+    parts = [base.replace(
+        "v0 AS (\n  SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS enc, wt FROM w\n)",
+        "v0 AS (\n  SELECT word, regexp_replace(word, '(.)', '(\\1)', 'g') AS enc, wt FROM w\n)",
+    )]
+    for i in range(1, BPE_ITERS + 1):
+        parts[0] = parts[0].replace(
+            f"v{i} AS (\n  SELECT replace(enc,",
+            f"v{i} AS (\n  SELECT word, replace(enc,",
+        )
+    return parts[0] + f""",
+dw AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) FILTER (WHERE word <> '') AS INTEGER) AS n_words,
+       CAST(coalesce(sum(
+         CASE WHEN word = '' THEN 0
+              WHEN enc IS NULL THEN length(word)
+              ELSE 1 + (length(enc) - length(replace(enc, ')(', ''))) // 2
+         END), 0) AS BIGINT) AS n_bpe_tokens
+FROM dw LEFT JOIN v{BPE_ITERS} USING (word)
+GROUP BY doc_id
+"""
+
+
+@_register("bpe_encode", _encode_sql())
+def bpe_encode(spark, sf_dir):
+    """Apply the learned merge table to the corpus and count BPE
+    tokens per document (the trainer's consumer — what a dataloader's
+    length statistics run on).  The merges are collected driver
+    artifacts (3 scalar rows) baked into the encoding expression as
+    LITERAL replaces, so the scoring side is pure map-work: wrap each
+    word's chars in brackets, chain the K merge replaces, count
+    symbols as 1 + count(')(') — and the only exchange is the per-doc
+    rollup with map-side partial sums.  Words the trainer excluded
+    (bracket/newline chars) fall back to one token per char; empty
+    split artifacts count zero.  The oracle instead joins the unrolled
+    vocab CTE back to word occurrences — per-occurrence literal
+    application and join-to-vocab application agree because encoding
+    is a pure function of the word."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["sym1"], r["sym2"])
+        for r in bpe_core(spark, docs).collect()
+    ]
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    enc = F.regexp_replace(F.col("word"), "(.)", "($1)")
+    for s1, s2 in merges:
+        enc = F.replace(enc, F.lit(f"({s1})({s2})"), F.lit(f"({s1}{s2})"))
+    n_tok = (
+        F.when(F.col("word") == "", F.lit(0).cast("long"))
+        .when(F.col("word").rlike(_BAD_WORD_RE), F.length("word").cast("long"))
+        .otherwise(
+            1 + (F.length(enc) - F.length(F.replace(enc, F.lit(")("), F.lit(""))))
+            / F.lit(2)
+        )
+        .cast("long")
+    )
+    return words.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("word") != "", 1).otherwise(0)).cast("int")
+        .alias("n_words"),
+        F.coalesce(F.sum(n_tok), F.lit(0)).cast("long").alias("n_bpe_tokens"),
+    )

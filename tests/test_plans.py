@@ -443,3 +443,14 @@ def test_exact_substr_excise_plan(spark):
     assert "Python" not in p and "MapInPandas" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert p.count("Exchange hashpartitioning") <= 4
+
+
+def test_bpe_encode_scoring_is_one_shuffle(spark):
+    """bpe_encode: the learned merges are literals in the encoding
+    expression, so the scoring plan has NO join and no Python — just
+    the per-doc rollup exchange (the trainer's own jobs run eagerly
+    before this plan exists)."""
+    p = _plan(QUERIES["bpe_encode"](spark, SF_DIR_ORACLE))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+    assert "Python" not in p and "MapInPandas" not in p
