@@ -524,18 +524,34 @@ def clean_corpus(spark, sf_dir):
     symbol_ratio > alpha_ratio > stopwords > kept.  Plan: ONE shuffle
     (the norm_text dedup window); normalization and every rule are
     map-side native expressions before/after it (plan-guarded)."""
-    from ocr_spark.queries.pipeline_ops import _GOPHER_REQ
-
     docs = _t(spark, sf_dir, "documents")
     n = docs.select("doc_id", norm_col(F.col("text")).alias("norm_text"))
     d = n.withColumn(
         "is_dup",
         F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("norm_text")),
     )
-    words = F.split(F.col("norm_text"), " ")
+    verdict = F.when(F.col("is_dup"), F.lit("duplicate")).otherwise(
+        gopher_verdict_col(F.col("norm_text"))
+    )
+    return d.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        (verdict == "kept").alias("kept"),
+        F.size(F.split(F.col("norm_text"), " ")).cast("long").alias("n_words"),
+    )
+
+
+def gopher_verdict_col(norm_text):
+    """Gopher-rule verdict (Rae et al. 2021) over an already-normalized
+    text Column: the first failing rule's name, or 'kept'.  Shared by
+    clean_corpus (batch, after its dedup branch) and
+    streaming.stream_clean (per micro-batch, stateless)."""
+    from ocr_spark.queries.pipeline_ops import _GOPHER_REQ
+
+    words = F.split(norm_text, " ")
     n_words = F.size(words).cast("long")
     mean_wl = (
-        F.length(F.replace(F.col("norm_text"), F.lit(" "), F.lit(""))).cast("double")
+        F.length(F.replace(norm_text, F.lit(" "), F.lit(""))).cast("double")
         / n_words
     )
     sym_ratio = (
@@ -548,18 +564,11 @@ def clean_corpus(spark, sf_dir):
     )
     req = F.array(*[F.lit(w) for w in _GOPHER_REQ])
     n_req = F.size(F.array_intersect(F.array_distinct(words), req)).cast("int")
-    verdict = (
-        F.when(F.col("is_dup"), F.lit("duplicate"))
-        .when(~n_words.between(50, 100000), F.lit("word_count"))
+    return (
+        F.when(~n_words.between(50, 100000), F.lit("word_count"))
         .when(~mean_wl.between(3.0, 10.0), F.lit("word_length"))
         .when(sym_ratio >= 0.1, F.lit("symbol_ratio"))
         .when(alpha_ratio < 0.8, F.lit("alpha_ratio"))
         .when(n_req < 2, F.lit("stopwords"))
         .otherwise(F.lit("kept"))
-    )
-    return d.select(
-        "doc_id",
-        verdict.alias("verdict"),
-        (verdict == "kept").alias("kept"),
-        n_words.alias("n_words"),
     )

@@ -499,6 +499,74 @@ def stream_dedup_exact(stream: DataFrame, watermark: str | None = None) -> DataF
     return out.dropDuplicates(["fp"])
 
 
+def stream_clean(stream: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Streaming twin of the batch ``clean_corpus`` pipeline: normalize
+    each turn's payload, attach the Gopher-rule verdict, and suppress
+    cross-micro-batch duplicates of the NORMALIZED text.
+
+    Normalize-before-dedup is the point: two drops whose raw bytes
+    differ only by curly quotes / NBSP / case collide on the same
+    normalized fingerprint, so the later one is suppressed — exactly
+    what the batch pipeline's norm_text window does, but incremental
+    and restart-safe (the seen-fingerprint state lives in the
+    checkpoint).  Verdict computation is stateless map-work per
+    micro-batch; only the dedup holds state.  Lineage difference vs
+    batch, stated plainly: batch clean_corpus emits a 'duplicate'
+    verdict row for suppressed docs, a streaming dropDuplicates emits
+    nothing for them — count emitted-vs-input per drain if reject
+    counts are needed.  Same watermark contract as
+    :func:`stream_dedup_exact`.
+    """
+    from ocr_spark.queries.ccnet_ops import gopher_verdict_col, norm_col
+
+    out = (
+        stream.withColumn("norm_text", norm_col(F.col("text")))
+        .withColumn("fp", F.md5(F.col("norm_text")))
+        .withColumn("verdict", gopher_verdict_col(F.col("norm_text")))
+        .withColumn("kept", F.col("verdict") == "kept")
+    )
+    if watermark is not None:
+        return out.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["fp"])
+    return out.dropDuplicates(["fp"])
+
+
+def run_clean_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    watermark: str | None = None,
+    max_files: int = 1,
+    fmt: str = "json",
+):
+    """Drain a turn drop directory through the streaming clean pipeline
+    into ``output_dir/data`` (same layout/contract as
+    :func:`run_dedup_stream`); returns rows emitted by THIS drain."""
+    before = 0
+    data_dir = os.path.join(output_dir, "data")
+    try:
+        before = spark.read.parquet(data_dir).count()
+    except Exception:
+        pass  # first drain: no output yet
+    cleaned = stream_clean(
+        read_transcript_stream(spark, input_dir, fmt=fmt, max_files=max_files),
+        watermark,
+    )
+    q = (
+        cleaned.writeStream.format("parquet")
+        .option("path", data_dir)
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        after = spark.read.parquet(data_dir).count()
+    except Exception:
+        return 0  # empty input: zero micro-batches, sink dir never created
+    return after - before
+
+
 def run_dedup_stream(
     spark: SparkSession,
     input_dir: str,

@@ -536,3 +536,46 @@ def test_dedup_stream_empty_input_returns_zero(spark, dirs, tmp_path):
     os.makedirs(inp)
     out = str(tmp_path / "empty_out")
     assert run_dedup_stream(spark, inp, out) == 0
+
+
+def test_stream_clean_normalize_before_dedup(spark, dirs):
+    """stream_clean: (a) raw byte variants that normalize equal (curly
+    vs straight quotes, case, NBSP) collide on the normalized
+    fingerprint — the later drop is suppressed across drains; (b) each
+    emitted row carries the same Gopher verdict the batch rule column
+    computes on its normalized text."""
+    from ocr_spark.queries.ccnet_ops import gopher_verdict_col, norm_col
+    from ocr_spark.streaming import run_clean_stream
+
+    raw = "The “quick” brown fox — jumps"
+    variant = "the \"quick\" brown fox - jumps"       # normalizes equal
+    fresh = "a genuinely different drop of text"
+    mk = lambda cid, text: {
+        "conv_id": cid, "turn_idx": 0, "role": "user", "text": text,
+        "tool": None, "ts": "2024-01-01T00:00:00",
+    }
+    inp, out = dirs
+    _write_jsonl(os.path.join(inp, "a.jsonl"), [mk("c0", raw)])
+    emitted = run_clean_stream(spark, inp, out, max_files=1)
+    assert emitted == 1
+
+    # second drain: the byte-variant is suppressed, the fresh one emits
+    _write_jsonl(os.path.join(inp, "b.jsonl"),
+                 [mk("c1", variant), mk("c2", fresh)])
+    emitted2 = run_clean_stream(spark, inp, out, max_files=1)
+    assert emitted2 == 1
+    got = spark.read.parquet(os.path.join(out, "data"))
+    assert got.count() == 2
+    texts = {r["text"] for r in got.collect()}
+    assert texts == {raw, fresh}             # first arrival wins
+
+    # verdicts match the batch rule column over the same normalized text
+    batch = spark.createDataFrame(
+        [(raw,), (fresh,)], ["text"]
+    ).select(
+        norm_col(F.col("text")).alias("norm_text")
+    ).select("norm_text", gopher_verdict_col(F.col("norm_text")).alias("v"))
+    want = {r["norm_text"]: r["v"] for r in batch.collect()}
+    for r in got.collect():
+        assert r["verdict"] == want[r["norm_text"]]
+        assert r["verdict"] == "word_count"   # both well under 50 words
