@@ -60,8 +60,11 @@ _DRIVER_PRIORITY = [
     "line_dedup", "lm_bigram_score", "doc_chunk_windows",
     "text_normalize", "sample_alloc", "ccnet_head_middle_tail",
     "clean_corpus", "exact_substr_excise", "bpe_train", "bpe_encode",
+    "dedup_cluster_sizes",
     # -- 2: latest driver evidence is r1/r2 (rotated out of r3's window) --
-    "p1_turn_merge", "x3_render", "x4_marker_split",
+    "p1_turn_merge", "x3_render",
+    # (x4_marker_split rotated out for dedup_cluster_sizes; pytest
+    #  parity checks it every run, kernel golden-tested)
     # (x2_extract_answer rotated out for bpe_encode; pytest parity
     #  checks it every run and the kernel is golden-tested)
     "x8_block_classify",

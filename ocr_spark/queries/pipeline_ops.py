@@ -2059,3 +2059,37 @@ def j9_star_join_share(spark, sf_dir):
         (F.col("revenue_c2").cast("double")
          / F.sum("revenue_c2").over(w_all).cast("double")).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup QA: cluster-size histogram
+# ---------------------------------------------------------------------------
+
+def _cluster_sizes_sql() -> str:
+    base = ORACLES["dedup_clusters"]
+    final = "SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id"
+    assert final in base  # composition depends on the clusters oracle tail
+    return base.replace(final, f""", labels AS ({final}),
+per AS (SELECT cluster_id, count(*) AS cnt FROM labels GROUP BY cluster_id)
+SELECT CAST(cnt AS INTEGER) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM per GROUP BY cnt""")
+
+
+@_register("dedup_cluster_sizes", _cluster_sizes_sql())
+def dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup family size histogram — the QA report every dedup run
+    ships with (how much of the corpus sits in families of 2, of 10,
+    of 10^6...).  Composes the verified connected-components labels:
+    two tiny aggregations on top (per-cluster counts, then counts of
+    counts), both with map-side partials; the expensive subtree is
+    dedup_clusters itself, unchanged.  Oracle = the recursive-CTE
+    clusters oracle with the same two rollups appended."""
+    per = (
+        dedup_clusters(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per.groupBy("cnt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    ).select(F.col("cnt").cast("int").alias("cluster_size"), "n_clusters")
