@@ -60,7 +60,7 @@ _DRIVER_PRIORITY = [
     "line_dedup", "lm_bigram_score", "doc_chunk_windows",
     "text_normalize", "sample_alloc", "ccnet_head_middle_tail",
     "clean_corpus", "exact_substr_excise", "bpe_train", "bpe_encode",
-    "dedup_cluster_sizes",
+    "dedup_cluster_sizes", "j10_range_join",
     # -- 2: latest driver evidence is r1/r2 (rotated out of r3's window) --
     "p1_turn_merge", "x3_render",
     # (x4_marker_split rotated out for dedup_cluster_sizes; pytest
@@ -95,7 +95,9 @@ _DRIVER_PRIORITY = [
     # (stratified_sample rotated out for the late j9_star_join_share
     #  addition; pytest parity still checks it every run)
     "ann_cosine_topk", "j8_pairwise_cosine",
-    "a9_vector_mean", "text_quality", "lang_id",
+    "a9_vector_mean", "text_quality",
+    # (lang_id rotated out for j10_range_join; pytest parity checks it
+    #  every run)
     # (token_count_ws, doc_fingerprint, a4_ratio_of_sums, a8_cumlogsum,
     #  a10_kl_divergence, w6_interpolation_sweep rotated out to make
     #  room for the six new agent-family entries; pytest oracle parity

@@ -572,3 +572,77 @@ def gopher_verdict_col(norm_text):
         .when(n_req < 2, F.lit("stopwords"))
         .otherwise(F.lit("kept"))
     )
+
+
+# ---------------------------------------------------------------------------
+# interval/range join via binning (theta -> equi)
+# ---------------------------------------------------------------------------
+
+#: 24 overlapping value ranges [k*$20, k*$20+$30) in exact cents, and
+#: the bin width that turns the interval predicate into an equi-key.
+_RJ_N = 24
+_RJ_STEP_C = 2000
+_RJ_WIDTH_C = 3000
+_RJ_BIN_C = 1000
+
+_RJ_SQL = f"""
+WITH r AS (
+  SELECT k AS range_id, k * {_RJ_STEP_C} AS lo_c,
+         k * {_RJ_STEP_C} + {_RJ_WIDTH_C} AS hi_c
+  FROM (SELECT unnest(generate_series(0, {_RJ_N - 1})) AS k)
+),
+e AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS vc FROM events
+)
+SELECT CAST(range_id AS INTEGER) AS range_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(vc) AS BIGINT) AS sum_value_c
+FROM e JOIN r ON e.vc >= r.lo_c AND e.vc < r.hi_c
+GROUP BY range_id
+"""
+
+
+@_register("j10_range_join", _RJ_SQL)
+def j10_range_join(spark, sf_dir):
+    """Interval (range) join, scale-out form: join every event to the
+    overlapping value ranges it falls in — the query that silently
+    becomes an O(|events| x |ranges|) nested loop if written as a theta
+    join.  The binned rewrite turns it into an EQUI-join: each event
+    carries one bin key ``vc div B``; each range explodes into the few
+    bins it covers; the join matches on the bin and re-checks the exact
+    predicate.  An event's single bin meets each covering range exactly
+    once, so no dedup is needed.  Here the exploded range side is tiny
+    and broadcasts (plan-guarded: BroadcastHashJoin, never
+    BroadcastNestedLoopJoin); when BOTH sides are large the same plan
+    becomes a shuffle hash join partitioned by bin — shuffle volume
+    O(events + ranges x bins_per_range), never a cross product.
+    Arithmetic is exact integer cents, so the oracle (the plain theta
+    join) matches bit-for-bit."""
+    ranges = (
+        spark.range(_RJ_N)
+        .select(
+            F.col("id").cast("int").alias("range_id"),
+            (F.col("id") * _RJ_STEP_C).alias("lo_c"),
+            (F.col("id") * _RJ_STEP_C + _RJ_WIDTH_C).alias("hi_c"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"lo_c div {_RJ_BIN_C}"),
+                    F.expr(f"(hi_c - 1) div {_RJ_BIN_C}"),
+                )
+            ),
+        )
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    ).withColumn("bin", F.expr(f"vc div {_RJ_BIN_C}"))
+    joined = ev.join(F.broadcast(ranges), "bin").filter(
+        (F.col("vc") >= F.col("lo_c")) & (F.col("vc") < F.col("hi_c"))
+    )
+    return joined.groupBy("range_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("vc").cast("long").alias("sum_value_c"),
+    )

@@ -454,3 +454,13 @@ def test_bpe_encode_scoring_is_one_shuffle(spark):
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p
     assert "Python" not in p and "MapInPandas" not in p
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """j10_range_join: the binned rewrite must produce a hash equi-join
+    on the bin key — never the BroadcastNestedLoopJoin a raw interval
+    predicate compiles to."""
+    p = _plan(QUERIES["j10_range_join"](spark, SF_DIR_ORACLE))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
