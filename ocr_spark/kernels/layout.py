@@ -270,3 +270,36 @@ def reflow_page_dump(dump: str, chrome_frac: float = 0.6) -> tuple[str, int, int
             if pending_hyphen:
                 out[-1] = out[-1][:-1]
     return " ".join(" ".join(out).split()), n_pages, n_removed
+
+
+# --------------------------------------------------------------------------
+# DOM micro-parsers: tables and sections
+# --------------------------------------------------------------------------
+
+_TR_RE = re.compile(r"<tr><td>(\d+)</td><td>(.*?)</td></tr>", re.S)
+_SEC_RE = re.compile(r"<h2>(.*?)</h2><p>(.*?)</p>", re.S)
+
+
+def parse_table(html: str) -> list[tuple[int, str]]:
+    """Parse ``<tr><td>idx</td><td>cell</td></tr>`` rows out of markup.
+
+    Lazy ``(.*?)`` cell capture (DOTALL) so cells containing ``<`` or
+    newlines — anything except a literal ``</td>`` — round-trip
+    exactly.  Returns ``[(row_idx, cell_text), ...]`` in document
+    order.
+    """
+    return [(int(i), c) for i, c in _TR_RE.findall(html)]
+
+
+def split_sections(html: str) -> list[tuple[str, str, int, int]]:
+    """Split ``<h2>H</h2><p>body</p>`` markup into sections with spans.
+
+    Returns ``[(heading, body, body_start, body_end), ...]`` where the
+    span offsets index the BODY text inside the source payload (char
+    positions, Python ``str`` semantics) — the multi-block form of the
+    single-span contract ``strip_boilerplate`` emits.
+    """
+    return [
+        (m.group(1), m.group(2), m.start(2), m.end(2))
+        for m in _SEC_RE.finditer(html)
+    ]

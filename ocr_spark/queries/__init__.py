@@ -61,13 +61,22 @@ _DRIVER_PRIORITY = [
     "text_normalize", "sample_alloc", "ccnet_head_middle_tail",
     "clean_corpus", "exact_substr_excise", "bpe_train", "bpe_encode",
     "dedup_cluster_sizes", "j10_range_join",
+    # DOM extraction additions (NEW): outlink histogram, table parse,
+    # section split with spans, link-graph PageRank
+    "html_link_extract", "html_table_extract", "html_section_split",
+    "link_pagerank",
     # -- 2: latest driver evidence is r1/r2 (rotated out of r3's window) --
-    "p1_turn_merge", "x3_render",
+    # (p1_turn_merge rotated out for html_link_extract; its multiturn
+    #  generalization passed r3 and pytest parity checks both each run)
+    # (x3_render rotated out for link_pagerank; the render kernel is
+    #  byte-pinned and x3_render_multiturn passed r3; pytest parity
+    #  checks both every run)
     # (x4_marker_split rotated out for dedup_cluster_sizes; pytest
     #  parity checks it every run, kernel golden-tested)
     # (x2_extract_answer rotated out for bpe_encode; pytest parity
     #  checks it every run and the kernel is golden-tested)
-    "x8_block_classify",
+    # (x8_block_classify rotated out for html_table_extract; r2-green,
+    #  kernel golden-tested, pytest parity checks it every run)
     # (x1_parse_imports rotated out for bpe_train; pytest parity
     #  checks it every run and its kernel is golden-tested)
     # (x6_span_count rotated out for exact_substr_excise; pytest
@@ -95,7 +104,9 @@ _DRIVER_PRIORITY = [
     # (stratified_sample rotated out for the late j9_star_join_share
     #  addition; pytest parity still checks it every run)
     "ann_cosine_topk", "j8_pairwise_cosine",
-    "a9_vector_mean", "text_quality",
+    "a9_vector_mean",
+    # (text_quality rotated out for html_section_split; r2-green,
+    #  re-measured in BENCH.md §3a, pytest parity checks it every run)
     # (lang_id rotated out for j10_range_join; pytest parity checks it
     #  every run)
     # (token_count_ws, doc_fingerprint, a4_ratio_of_sums, a8_cumlogsum,

@@ -4,7 +4,9 @@ from ocr_spark.kernels.layout import (
     Line,
     cluster_rows,
     detect_columns,
+    parse_table,
     reading_order,
+    split_sections,
     score_blocks,
     segment_page_dump,
     strip_boilerplate,
@@ -156,3 +158,20 @@ def test_corpus_property_makes_inversion_exact():
     assert not any(
         re.search(r"[-\d\n\f\t]|\s\s|^\s|\s$", t) for t in texts
     )
+
+
+def test_parse_table_roundtrip_and_hostile_cells():
+    assert parse_table(
+        '<table><tr><td>0</td><td>a b</td></tr>'
+        '<tr><td>1</td><td><x> &amp; c\nd</td></tr></table>'
+    ) == [(0, "a b"), (1, "<x> &amp; c\nd")]
+    assert parse_table("<table></table>") == []
+
+
+def test_split_sections_spans_index_the_payload():
+    h = "<h2>S0</h2><p>one two</p><h2>S1</h2><p></p><h2>S2</h2><p>x<y</p>"
+    secs = split_sections(h)
+    assert [(a, b) for a, b, *_ in secs] == [
+        ("S0", "one two"), ("S1", ""), ("S2", "x<y")]
+    for head, body, a, b in secs:
+        assert h[a:b] == body

@@ -464,3 +464,43 @@ def test_range_join_is_equi_not_nested_loop(spark):
     assert "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_html_link_extract_is_jvm_only_distinct_agg(spark):
+    """html_link_extract: synthesis + regexp parse stay in codegen (no
+    Python anywhere) and the histogram is the canonical two-exchange
+    distinct-aggregate — partial_count on (href, doc_id) BEFORE the
+    first shuffle (duplicate links collapse map-side), then the href
+    rollup.  Any third hash exchange would mean the distinct stopped
+    pre-aggregating."""
+    p = _plan(QUERIES["html_link_extract"](spark, SF_DIR_ORACLE))
+    assert "Python" not in p and "MapInPandas" not in p
+    n_hash_ex = p.count("Exchange hashpartitioning")
+    assert n_hash_ex == 2, p
+    assert "partial_count" in p
+
+
+def test_html_table_extract_is_map_only(spark):
+    """html_table_extract: markup synthesis (higher-order transform)
+    and the kernel parse fuse into one Arrow pass — no exchange."""
+    p = _plan(QUERIES["html_table_extract"](spark, SF_DIR_ORACLE))
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+
+def test_html_section_split_is_map_only(spark):
+    """html_section_split: per-doc section render + span parse, one
+    Arrow pass, no shuffle at any scale."""
+    p = _plan(QUERIES["html_section_split"](spark, SF_DIR_ORACLE))
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+
+def test_link_pagerank_no_python_partial_sums(spark):
+    """link_pagerank: all-JVM iteration — contributions partial_sum
+    map-side before each dst shuffle, node count arrives as a broadcast
+    1-row aggregate (no driver collect), no Python anywhere."""
+    p = _plan(QUERIES["link_pagerank"](spark, SF_DIR_ORACLE))
+    assert "Python" not in p and "MapInPandas" not in p
+    assert "partial_sum" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
