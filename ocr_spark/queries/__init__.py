@@ -64,7 +64,7 @@ _DRIVER_PRIORITY = [
     # DOM extraction additions (NEW): outlink histogram, table parse,
     # section split with spans, link-graph PageRank
     "html_link_extract", "html_table_extract", "html_section_split",
-    "link_pagerank",
+    "link_pagerank", "table_profile",
     # -- 2: latest driver evidence is r1/r2 (rotated out of r3's window) --
     # (p1_turn_merge rotated out for html_link_extract; its multiturn
     #  generalization passed r3 and pytest parity checks both each run)
@@ -104,7 +104,9 @@ _DRIVER_PRIORITY = [
     # (stratified_sample rotated out for the late j9_star_join_share
     #  addition; pytest parity still checks it every run)
     "ann_cosine_topk", "j8_pairwise_cosine",
-    "a9_vector_mean",
+    # (a9_vector_mean rotated out for table_profile; r2-green and its
+    #  udf_grouped_agg twin passed r3; pytest parity checks it every
+    #  run)
     # (text_quality rotated out for html_section_split; r2-green,
     #  re-measured in BENCH.md §3a, pytest parity checks it every run)
     # (lang_id rotated out for j10_range_join; pytest parity checks it

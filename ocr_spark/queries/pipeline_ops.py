@@ -2093,3 +2093,67 @@ def dedup_cluster_sizes(spark, sf_dir):
     return per.groupBy("cnt").agg(
         F.count(F.lit(1)).cast("long").alias("n_clusters")
     ).select(F.col("cnt").cast("int").alias("cluster_size"), "n_clusters")
+
+
+# ===========================================================================
+# Table profiling (ANALYZE-style one-pass column statistics)
+# ===========================================================================
+
+_PROFILE_COLS = ("doc_id", "lang", "source", "n_chars", "text")
+
+
+def _profile_oracle() -> str:
+    per = []
+    inner = ["COUNT(*) AS tot"]
+    for i, c in enumerate(_PROFILE_COLS):
+        inner += [
+            f"COUNT({c}) AS n{i}",
+            f"COUNT(DISTINCT {c}) AS d{i}",
+            f"CAST(MIN({c}) AS VARCHAR) AS mn{i}",
+            f"CAST(MAX({c}) AS VARCHAR) AS mx{i}",
+        ]
+        per.append(
+            f"SELECT '{c}' AS col_name, n{i} AS n_nonnull, tot - n{i} AS n_null,"
+            f" d{i} AS n_distinct, mn{i} AS min_val, mx{i} AS max_val FROM a"
+        )
+    return (
+        "WITH a AS (SELECT " + ", ".join(inner) + " FROM documents)\n"
+        + "\nUNION ALL ".join(per)
+        + "\nORDER BY col_name"
+    )
+
+
+@_register("table_profile", _profile_oracle())
+def table_profile(spark, sf_dir):
+    """ANALYZE-style table profile: per-column non-null / null /
+    exact-distinct counts and min/max, computed in ONE aggregation pass
+    and unpivoted with ``stack`` into (col_name, metric...) rows — the
+    data-quality snapshot a pipeline records before/after every
+    cleaning stage.  All native expressions (no Python): Catalyst
+    plans the five exact distincts as one Expand + two-phase aggregate
+    with map-side partials.  Scale note: the final global aggregate is
+    a single-partition reduce of per-partition partials (tiny — one
+    row per grouping set per partition survives the partial phase);
+    the honest 100 TB lever is swapping the high-cardinality text
+    distinct for ``approx_count_distinct`` (HLL, one pass, no Expand
+    blow-up) — the exact form is kept here because the oracle must be
+    exact.
+    """
+    d = _t(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("tot")]
+    for i, c in enumerate(_PROFILE_COLS):
+        aggs += [
+            F.count(c).alias(f"n{i}"),
+            F.countDistinct(c).alias(f"d{i}"),
+            F.min(F.col(c)).cast("string").alias(f"mn{i}"),
+            F.max(F.col(c)).cast("string").alias(f"mx{i}"),
+        ]
+    row = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n{i}, tot - n{i}, d{i}, mn{i}, mx{i}"
+        for i, c in enumerate(_PROFILE_COLS)
+    )
+    return row.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_nonnull, n_null, n_distinct, min_val, max_val)"
+    ).orderBy("col_name")

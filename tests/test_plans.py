@@ -504,3 +504,13 @@ def test_link_pagerank_no_python_partial_sums(spark):
     assert "Python" not in p and "MapInPandas" not in p
     assert "partial_sum" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_table_profile_is_one_native_pass(spark):
+    """table_profile: the five exact distincts plan as one Expand +
+    two-phase aggregate — all native (no Python), and the only
+    single-partition exchange is the global one-row reduce."""
+    p = _plan(QUERIES["table_profile"](spark, SF_DIR_ORACLE))
+    assert "Python" not in p and "MapInPandas" not in p
+    assert "Expand" in p
+    assert p.count("Exchange SinglePartition") <= 1
