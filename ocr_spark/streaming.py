@@ -605,3 +605,43 @@ def run_dedup_stream(
     except Exception:
         return 0  # empty input: zero micro-batches, sink dir never created
     return after - before
+
+
+def stream_tool_enrich(
+    turns: DataFrame,
+    tool_events: DataFrame,
+    max_lag: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream event-time interval join (§2.7): enrich each turn
+    with the tool invocations that preceded it in the SAME conversation
+    within ``max_lag`` — the streaming twin of the batch
+    ``asof_tool_join`` (queries/agent_ops.py), except a stream cannot
+    sort-and-lag, so the join is the watermark-bounded interval form
+    Structured Streaming supports natively.
+
+    Both sides carry a watermark and the join predicate bounds
+    ``tool_ts`` to ``[ts - max_lag, ts]``, so Spark can expire buffered
+    rows on each side once the other side's watermark passes them —
+    state is bounded by (watermark + max_lag) worth of traffic, not
+    stream length, which is what lets this run indefinitely at
+    10^12-turn scale.  Inner join, append mode; a matched pair is
+    emitted exactly once.
+    """
+    a = turns.withWatermark("ts", watermark)
+    b = (
+        tool_events.select(
+            F.col("conv_id").alias("t_conv_id"),
+            F.col("tool").alias("tool_name"),
+            F.col("ts").alias("tool_ts"),
+        )
+        .withWatermark("tool_ts", watermark)
+    )
+    cond = (
+        (a["conv_id"] == b["t_conv_id"])
+        & (b["tool_ts"] >= F.expr(f"ts - interval {max_lag}"))
+        & (b["tool_ts"] <= a["ts"])
+    )
+    return a.join(b, cond, "inner").select(
+        "conv_id", "turn_idx", "role", "ts", "tool_name", "tool_ts"
+    )

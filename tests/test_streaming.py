@@ -579,3 +579,79 @@ def test_stream_clean_normalize_before_dedup(spark, dirs):
     for r in got.collect():
         assert r["verdict"] == want[r["norm_text"]]
         assert r["verdict"] == "word_count"   # both well under 50 words
+
+
+def test_stream_tool_enrich_matches_batch_interval_join(spark, dirs, tmp_path):
+    """Stream-stream interval join (availableNow drain) must equal the
+    same join computed in batch: tool events within [ts - 10 min, ts]
+    of a same-conversation turn attach; older or cross-conv ones
+    don't."""
+    from ocr_spark.streaming import (
+        TRANSCRIPT_SCHEMA,
+        read_transcript_stream,
+        stream_tool_enrich,
+    )
+
+    inp, _ = dirs
+    tool_dir = str(tmp_path / "tools")
+    os.makedirs(tool_dir)
+
+    turn_rows, tool_rows = [], []
+    for i in range(6):
+        c = f"e{i:03d}"
+        turn_rows.append(
+            {"conv_id": c, "turn_idx": 1, "role": "assistant",
+             "text": "4200 km", "tool": None,
+             "ts": f"2024-01-01T0{i}:30:00"})
+        # in-window (1 min before) -> matches
+        tool_rows.append(
+            {"conv_id": c, "turn_idx": 0, "role": "tool", "text": None,
+             "tool": "geo_lookup", "ts": f"2024-01-01T0{i}:29:00"})
+        # out-of-window (30 min before) -> no match
+        tool_rows.append(
+            {"conv_id": c, "turn_idx": 0, "role": "tool", "text": None,
+             "tool": "geo_lookup", "ts": f"2024-01-01T0{i}:00:00"})
+    # cross-conversation event inside the window -> no match
+    tool_rows.append(
+        {"conv_id": "other", "turn_idx": 0, "role": "tool", "text": None,
+         "tool": "geo_lookup", "ts": "2024-01-01T00:29:30"})
+    _write_jsonl(os.path.join(inp, "turns.jsonl"), turn_rows)
+    _write_jsonl(os.path.join(tool_dir, "tools.jsonl"), tool_rows)
+
+    q = (
+        stream_tool_enrich(
+            read_transcript_stream(spark, inp, max_files=1),
+            read_transcript_stream(spark, tool_dir, max_files=1),
+        )
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], str(r["ts"]), r["tool_name"], str(r["tool_ts"]))
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    )
+
+    bt = spark.read.schema(TRANSCRIPT_SCHEMA).json(inp)
+    be = spark.read.schema(TRANSCRIPT_SCHEMA).json(tool_dir).select(
+        F.col("conv_id").alias("t_conv_id"),
+        F.col("tool").alias("tool_name"),
+        F.col("ts").alias("tool_ts"),
+    )
+    batch = bt.join(
+        be,
+        (bt["conv_id"] == be["t_conv_id"])
+        & (be["tool_ts"] >= F.expr("ts - interval 10 minutes"))
+        & (be["tool_ts"] <= bt["ts"]),
+        "inner",
+    )
+    want = sorted(
+        (r["conv_id"], r["turn_idx"], str(r["ts"]), r["tool_name"], str(r["tool_ts"]))
+        for r in batch.collect()
+    )
+    assert got == want
+    assert len(got) == 6          # exactly the six in-window events
+    assert {t for (_, _, _, t, _) in got} == {"geo_lookup"}
