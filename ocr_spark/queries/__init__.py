@@ -65,6 +65,9 @@ _DRIVER_PRIORITY = [
     # section split with spans, link-graph PageRank
     "html_link_extract", "html_table_extract", "html_section_split",
     "link_pagerank", "table_profile",
+    # relational-surface completion (NEW): explicit-value pivot +
+    # RANGE-frame event-time window
+    "a15_pivot_counts", "a16_range_window",
     # -- 2: latest driver evidence is r1/r2 (rotated out of r3's window) --
     # (p1_turn_merge rotated out for html_link_extract; its multiturn
     #  generalization passed r3 and pytest parity checks both each run)
@@ -100,7 +103,9 @@ _DRIVER_PRIORITY = [
     #  pytest parity still checks it every run)
     # (x6_char_spans rotated out for the late turn_payload_extract
     #  addition; pytest parity still checks it every run)
-    "dedup_exact", "dedup_minhash_signatures",
+    # (dedup_exact, dedup_minhash_signatures rotated out for the two
+    #  relational-surface additions; both r1/r2-green with pytest
+    #  parity every run and LSH-family plan guards)
     # (stratified_sample rotated out for the late j9_star_join_share
     #  addition; pytest parity still checks it every run)
     "ann_cosine_topk", "j8_pairwise_cosine",

