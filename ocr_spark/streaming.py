@@ -612,6 +612,7 @@ def stream_tool_enrich(
     tool_events: DataFrame,
     max_lag: str = "10 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream event-time interval join (§2.7): enrich each turn
     with the tool invocations that preceded it in the SAME conversation
@@ -625,8 +626,17 @@ def stream_tool_enrich(
     rows on each side once the other side's watermark passes them —
     state is bounded by (watermark + max_lag) worth of traffic, not
     stream length, which is what lets this run indefinitely at
-    10^12-turn scale.  Inner join, append mode; a matched pair is
-    emitted exactly once.
+    10^12-turn scale.  Append mode; a matched pair is emitted exactly
+    once.
+
+    ``how`` selects the join mode.  ``"inner"`` emits matches as soon
+    as both rows exist; ``"left_outer"`` additionally emits each
+    UNMATCHED turn (null tool columns) — but only once the watermark
+    has passed the turn's entire candidate interval, because until
+    then a matching tool event could still arrive.  The outer rows are
+    therefore watermark-delayed by construction: a drain whose final
+    watermark never passes a turn's interval will hold that turn's
+    outer row in state, exactly as a late tool event requires.
     """
     a = turns.withWatermark("ts", watermark)
     b = (
@@ -642,6 +652,8 @@ def stream_tool_enrich(
         & (b["tool_ts"] >= F.expr(f"ts - interval {max_lag}"))
         & (b["tool_ts"] <= a["ts"])
     )
-    return a.join(b, cond, "inner").select(
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join mode: {how!r}")
+    return a.join(b, cond, how).select(
         "conv_id", "turn_idx", "role", "ts", "tool_name", "tool_ts"
     )

@@ -655,3 +655,54 @@ def test_stream_tool_enrich_matches_batch_interval_join(spark, dirs, tmp_path):
     assert got == want
     assert len(got) == 6          # exactly the six in-window events
     assert {t for (_, _, _, t, _) in got} == {"geo_lookup"}
+
+
+def test_stream_tool_enrich_left_outer_emits_unmatched(spark, dirs, tmp_path):
+    """left_outer mode: a turn with no in-window tool event emits a
+    null-tool row once the watermark passes its candidate interval
+    (sentinels in BOTH streams advance the query watermark, which is
+    the min across sources); matched turns emit exactly their
+    matches."""
+    from ocr_spark.streaming import read_transcript_stream, stream_tool_enrich
+
+    inp, _ = dirs
+    tool_dir = str(tmp_path / "tools")
+    os.makedirs(tool_dir)
+
+    turn_rows = [
+        {"conv_id": "m000", "turn_idx": 1, "role": "assistant",
+         "text": "4200 km", "tool": None, "ts": "2024-01-01T01:30:00"},
+        {"conv_id": "u000", "turn_idx": 1, "role": "assistant",
+         "text": "4200 km", "tool": None, "ts": "2024-01-01T02:30:00"},
+        # watermark sentinel (its own interval never closes)
+        {"conv_id": "zzz", "turn_idx": 0, "role": "user", "text": "late",
+         "tool": None, "ts": "2024-01-02T12:00:00"},
+    ]
+    tool_rows = [
+        {"conv_id": "m000", "turn_idx": 0, "role": "tool", "text": None,
+         "tool": "geo_lookup", "ts": "2024-01-01T01:29:00"},
+        {"conv_id": "zzz2", "turn_idx": 0, "role": "tool", "text": None,
+         "tool": "noop", "ts": "2024-01-02T12:00:00"},
+    ]
+    _write_jsonl(os.path.join(inp, "turns.jsonl"), turn_rows)
+    _write_jsonl(os.path.join(tool_dir, "tools.jsonl"), tool_rows)
+
+    q = (
+        stream_tool_enrich(
+            read_transcript_stream(spark, inp, max_files=1),
+            read_transcript_stream(spark, tool_dir, max_files=1),
+            how="left_outer",
+        )
+        .writeStream.format("memory")
+        .queryName("enriched_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["conv_id"], r["tool_name"])
+        for r in spark.sql("SELECT * FROM enriched_outer").collect()
+        if r["conv_id"] != "zzz"
+    }
+    assert got == {("m000", "geo_lookup"), ("u000", None)}
