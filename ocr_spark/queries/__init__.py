@@ -68,6 +68,8 @@ _DRIVER_PRIORITY = [
     # relational-surface completion (NEW): explicit-value pivot +
     # RANGE-frame event-time window
     "a15_pivot_counts", "a16_range_window",
+    # semi-structured JSON parse (NEW)
+    "s10_json_props",
     # -- 2: latest driver evidence is r1/r2 (rotated out of r3's window) --
     # (p1_turn_merge rotated out for html_link_extract; its multiturn
     #  generalization passed r3 and pytest parity checks both each run)
@@ -108,7 +110,9 @@ _DRIVER_PRIORITY = [
     #  parity every run and LSH-family plan guards)
     # (stratified_sample rotated out for the late j9_star_join_share
     #  addition; pytest parity still checks it every run)
-    "ann_cosine_topk", "j8_pairwise_cosine",
+    "ann_cosine_topk",
+    # (j8_pairwise_cosine rotated out for s10_json_props; r2-green,
+    #  pytest parity checks it every run)
     # (a9_vector_mean rotated out for table_profile; r2-green and its
     #  udf_grouped_agg twin passed r3; pytest parity checks it every
     #  run)

@@ -906,3 +906,44 @@ def a16_range_window(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+# ===========================================================================
+# Semi-structured (JSON) column processing (S10, round 4)
+# ===========================================================================
+
+@_register(
+    "s10_json_props",
+    """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(props ->> 'k' AS INTEGER)) AS BIGINT) AS sum_k,
+       MIN(CAST(props ->> 'k' AS INTEGER)) AS min_k,
+       MAX(CAST(props ->> 'k' AS INTEGER)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def s10_json_props(spark, sf_dir):
+    """Semi-structured column processing: the ``events.props`` JSON
+    payload parsed with a DECLARED schema (``from_json(props,
+    'k INT')`` — never schema inference, which at 100 TB would add a
+    whole-table discovery scan) and aggregated per event type.
+    ``from_json`` is a JVM expression (JsonToStructs) inside codegen —
+    no Python; one hash aggregation with map-side partials after the
+    parse projection.  Malformed documents yield null (PERMISSIVE
+    mode), which COUNT/SUM skip on both engines.
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

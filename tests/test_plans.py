@@ -533,3 +533,14 @@ def test_range_window_partitions_by_user(spark):
     assert "Exchange SinglePartition" not in p.split("Sort")[0] or True
     assert p.count("Exchange hashpartitioning") == 1
     assert "Window" in p and "Python" not in p
+
+
+def test_json_props_parse_is_jvm_single_shuffle(spark):
+    """s10_json_props: declared-schema from_json stays in codegen (no
+    Python, no inference scan) and the rollup is one hash exchange
+    with partial aggregation below it."""
+    p = _plan(QUERIES["s10_json_props"](spark, SF_DIR_ORACLE))
+    assert "Python" not in p and "MapInPandas" not in p
+    assert p.count("Scan parquet") == 1
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "from_json" in p
