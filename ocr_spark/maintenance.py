@@ -1,4 +1,4 @@
-"""Output-layout maintenance: small-file compaction.
+"""Output-layout maintenance: small-file compaction + keyed MERGE.
 
 A resumable extraction run (lineage.CheckpointedExtraction) and the
 streaming sinks commit output per bucket / per micro-batch, which is
@@ -136,3 +136,65 @@ def recover_compaction(path: str) -> str:
         return "rolled_back"
     shutil.rmtree(tmp, ignore_errors=True)
     return "clean"
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    changes,
+    key: str = "doc_id",
+    delete_col: str = "_deleted",
+    broadcast_changes: bool = True,
+) -> dict:
+    """MERGE INTO analog on the parquet snapshot seam: apply one keyed
+    change batch — full-row upserts plus tombstone deletes — to a
+    parquet table as a single atomic snapshot swap (Iceberg
+    ``MERGE INTO`` / copy-on-write semantics, same two-rename protocol
+    as :func:`compact_parquet_dir`, so :func:`recover_compaction`
+    resolves a crash in the swap window for both operations).
+
+    ``changes`` carries the target's full schema plus a boolean
+    ``delete_col``: rows with it true remove their key from the table;
+    the rest replace the matching target row wholesale (or insert when
+    the key is new).  Keys must be unique within a batch — enforce
+    upstream; last-writer-wins dedup belongs to the producer.
+
+    Shape at 100 TB: the target is NEVER shuffled — matched rows leave
+    via one ``left_anti`` join against the change-key set (broadcast by
+    default; pass ``broadcast_changes=False`` for change batches too
+    big to broadcast, letting AQE pick the join) — and the rewrite is a
+    scan + union + write.  Copy-on-write rewrites the whole table, the
+    honest cost of a parquet-only seam; a deployment with the Iceberg
+    runtime jar gets file-level overwrite through
+    ``iceberg.IcebergSnapshotWriter`` instead.
+    """
+    from pyspark.sql import functions as F
+
+    recover_compaction(path)
+    target = spark.read.parquet(path)
+    data_cols = target.columns
+    ck = changes.select(key)
+    if broadcast_changes:
+        ck = F.broadcast(ck)
+    kept = target.join(ck, on=key, how="left_anti")
+    upserts = changes.filter(~F.col(delete_col)).select(*data_cols)
+    merged = kept.unionByName(upserts)
+
+    rows_before = target.count()
+    n_changes = changes.count()
+    n_deletes = n_changes - upserts.count()
+
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    bak = path.rstrip("/") + ".__compact_bak"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+
+    rows_after = spark.read.parquet(path).count()
+    return {
+        "path": path, "rows_before": rows_before, "rows_after": rows_after,
+        "n_changes": n_changes, "n_deletes": n_deletes,
+        "n_upserts": n_changes - n_deletes,
+    }

@@ -105,3 +105,54 @@ def test_direct_compact_self_recovers_stale_bak(spark, tmp_path):
     assert stats["skipped"] is False and stats["files_after"] == 1
     assert _rows(spark, path) == want
     assert not os.path.exists(path + ".__compact_bak")
+
+
+def test_merge_upsert_update_insert_delete(spark, tmp_path):
+    """One change batch: key 3 updated in place, key 100 inserted,
+    key 7 tombstoned — everything else passes through untouched."""
+    from ocr_spark.maintenance import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(i, f"row{i}") for i in range(10)], "doc_id long, text string"
+    ).repartition(3).write.parquet(path)
+
+    changes = spark.createDataFrame(
+        [(3, "row3-v2", False), (100, "row100", False), (7, None, True)],
+        "doc_id long, text string, _deleted boolean",
+    )
+    stats = merge_upsert(spark, path, changes)
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(path).collect()}
+
+    want = {i: f"row{i}" for i in range(10) if i != 7}
+    want[3] = "row3-v2"
+    want[100] = "row100"
+    assert got == want
+    assert stats["rows_before"] == 10 and stats["rows_after"] == 10
+    assert stats["n_upserts"] == 2 and stats["n_deletes"] == 1
+
+
+def test_merge_upsert_target_never_shuffles(spark, tmp_path):
+    """The anti-join must broadcast the change keys: no hash exchange
+    of the target side in the merged plan."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tbl2")
+    spark.createDataFrame(
+        [(i, f"r{i}") for i in range(50)], "doc_id long, text string"
+    ).write.parquet(path)
+    changes = spark.createDataFrame(
+        [(1, "x", False)], "doc_id long, text string, _deleted boolean"
+    )
+    target = spark.read.parquet(path)
+    kept = target.join(
+        F.broadcast(changes.select("doc_id")), on="doc_id", how="left_anti"
+    )
+    merged = kept.unionByName(changes.filter(~F.col("_deleted")).select("doc_id", "text"))
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        merged.explain()
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "Exchange hashpartitioning" not in p
