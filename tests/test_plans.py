@@ -544,3 +544,15 @@ def test_json_props_parse_is_jvm_single_shuffle(spark):
     assert p.count("Scan parquet") == 1
     assert p.count("Exchange hashpartitioning") == 1
     assert "from_json" in p
+
+
+def test_filters_push_down_to_parquet_scan(spark):
+    """Predicate pushdown reaches the scan: a filter on a scanned
+    column must appear in the FileScan's PushedFilters (row-group
+    min/max skipping at 100 TB depends on it), alongside column
+    pruning."""
+    docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    p = _plan(docs.filter(F.col("n_chars") > 300).select("doc_id", "n_chars"))
+    pushed = p.split("PushedFilters: [")[1].split("]")[0]
+    assert "GreaterThan(n_chars,300)" in pushed, p
+    assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in p
