@@ -138,6 +138,30 @@ def recover_compaction(path: str) -> str:
     return "clean"
 
 
+def merge_plan(target, changes, key: str, delete_col: str,
+               broadcast_changes: bool = True):
+    """Build the merged DataFrame :func:`merge_upsert` writes.
+
+    Exposed separately so the no-target-shuffle plan shape can be
+    asserted on the exact DataFrame the merge constructs
+    (tests/test_maintenance.py explains this, not a hand copy).  A
+    NULL ``delete_col`` is treated as false (an upsert): ``~NULL`` is
+    NULL, and a bare ``filter(~col)`` would silently drop the row from
+    the upsert side while its key still anti-joins the target row away
+    — data loss disguised as a delete.
+    """
+    from pyspark.sql import functions as F
+
+    data_cols = target.columns
+    ck = changes.select(key)
+    if broadcast_changes:
+        ck = F.broadcast(ck)
+    kept = target.join(ck, on=key, how="left_anti")
+    is_delete = F.coalesce(F.col(delete_col), F.lit(False))
+    upserts = changes.filter(~is_delete).select(*data_cols)
+    return kept.unionByName(upserts)
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,
@@ -145,6 +169,7 @@ def merge_upsert(
     key: str = "doc_id",
     delete_col: str = "_deleted",
     broadcast_changes: bool = True,
+    with_counts: bool = True,
 ) -> dict:
     """MERGE INTO analog on the parquet snapshot seam: apply one keyed
     change batch — full-row upserts plus tombstone deletes — to a
@@ -155,9 +180,10 @@ def merge_upsert(
 
     ``changes`` carries the target's full schema plus a boolean
     ``delete_col``: rows with it true remove their key from the table;
-    the rest replace the matching target row wholesale (or insert when
-    the key is new).  Keys must be unique within a batch — enforce
-    upstream; last-writer-wins dedup belongs to the producer.
+    the rest — including rows where the flag is NULL — replace the
+    matching target row wholesale (or insert when the key is new).
+    Keys must be unique within a batch — enforce upstream;
+    last-writer-wins dedup belongs to the producer.
 
     Shape at 100 TB: the target is NEVER shuffled — matched rows leave
     via one ``left_anti`` join against the change-key set (broadcast by
@@ -166,23 +192,26 @@ def merge_upsert(
     scan + union + write.  Copy-on-write rewrites the whole table, the
     honest cost of a parquet-only seam; a deployment with the Iceberg
     runtime jar gets file-level overwrite through
-    ``iceberg.IcebergSnapshotWriter`` instead.
+    ``iceberg.IcebergSnapshotWriter`` instead.  Change-batch stats come
+    from ONE aggregate over ``changes``; the before/after table counts
+    cost one scan of each snapshot and are observability-only — pass
+    ``with_counts=False`` to skip them on tables where two extra scans
+    matter.
     """
     from pyspark.sql import functions as F
 
     recover_compaction(path)
     target = spark.read.parquet(path)
-    data_cols = target.columns
-    ck = changes.select(key)
-    if broadcast_changes:
-        ck = F.broadcast(ck)
-    kept = target.join(ck, on=key, how="left_anti")
-    upserts = changes.filter(~F.col(delete_col)).select(*data_cols)
-    merged = kept.unionByName(upserts)
+    merged = merge_plan(target, changes, key, delete_col, broadcast_changes)
 
-    rows_before = target.count()
-    n_changes = changes.count()
-    n_deletes = n_changes - upserts.count()
+    is_delete = F.coalesce(F.col(delete_col), F.lit(False))
+    agg = changes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(is_delete.cast("long")).alias("d"),
+    ).first()
+    n_changes = agg["n"]
+    n_deletes = agg["d"] or 0
+    rows_before = target.count() if with_counts else None
 
     tmp = path.rstrip("/") + ".__compact_tmp"
     bak = path.rstrip("/") + ".__compact_bak"
@@ -192,7 +221,7 @@ def merge_upsert(
     os.rename(tmp, path)
     shutil.rmtree(bak)
 
-    rows_after = spark.read.parquet(path).count()
+    rows_after = spark.read.parquet(path).count() if with_counts else None
     return {
         "path": path, "rows_before": rows_before, "rows_after": rows_after,
         "n_changes": n_changes, "n_deletes": n_deletes,

@@ -874,27 +874,38 @@ SELECT event_id,
        CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER w AS BIGINT)
          AS sum_micro_1h
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """,
 )
 def a16_range_window(spark, sf_dir):
     """RANGE-frame event-time window: per event, the count and exact
     integer-micro value sum of the same user's events in the trailing
-    hour — value-based frames (RANGE BETWEEN 3600 PRECEDING) rather
-    than the row-count frames every other window in the catalog uses.
-    Peer rows (equal timestamps) are all included by RANGE semantics,
-    so the result is order-deterministic even under ties; the value
-    sum uses the catalog's integer-micros discipline so the frame
-    aggregation is bit-exact in any accumulation order.  One shuffle
-    on user_id; frames evaluate in a single sorted pass per partition.
+    hour — value-based frames (RANGE over the last 3.6e9 MICROSECONDS)
+    rather than the row-count frames every other window in the catalog
+    uses.  Both engines order the frame by integer epoch MICROS
+    (``unix_micros`` / ``epoch_us``): the fixture timestamps carry
+    sub-second precision, and ordering by truncated whole seconds on
+    one side only (the first cut of this query) shifts frame
+    membership for events whose true gap straddles the hour by less
+    than a second — a divergence that first appears at sf0.1, past
+    the sf0.01 parity gate.  Peer rows (equal timestamps) are all
+    included by RANGE semantics, so the result is order-deterministic
+    even under ties; the value sum uses the catalog's integer-micros
+    discipline so the frame aggregation is bit-exact in any
+    accumulation order.  One shuffle on user_id; frames evaluate in a
+    single sorted pass per partition.
     """
     e = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        # ts is TIMESTAMP_NTZ in the fixture parquet; unix_micros needs
+        # TIMESTAMP.  The cast shifts by the (constant) session-zone
+        # offset, which cancels in every frame comparison — only
+        # DIFFERENCES of the ordering key decide membership.
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return (
         e.select(

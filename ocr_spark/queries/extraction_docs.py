@@ -336,7 +336,7 @@ def html_link_extract(spark, sf_dir):
         F.concat(
             F.lit(_LINK_PRE), F.col("lang"),
             F.lit(_LINK_MID1), F.col("source"),
-            F.lit(_LINK_MID2), F.col("text"),
+            F.lit(_LINK_MID2), F.coalesce(F.col("text"), F.lit("")),
             F.lit(_LINK_MID3), (F.col("n_chars") % 7).cast("string"),
             F.lit(_LINK_MID4), (F.col("doc_id") % 7).cast("string"),
             F.lit(_LINK_SUF),
@@ -377,8 +377,8 @@ _TBL_SCHEMA = StructType(
 SELECT doc_id, CAST(i - 1 AS INTEGER) AS row_idx, w AS cell
 FROM (
   SELECT doc_id,
-         unnest(str_split(text, ' ')[1:least(len(str_split(text, ' ')), 6)]) AS w,
-         unnest(generate_series(1, least(len(str_split(text, ' ')), 6))) AS i
+         unnest(str_split(coalesce(text, ''), ' ')[1:least(len(str_split(coalesce(text, ''), ' ')), 6)]) AS w,
+         unnest(generate_series(1, least(len(str_split(coalesce(text, ''), ' ')), 6))) AS i
   FROM documents
 )
 """,
@@ -395,7 +395,7 @@ def html_table_extract(spark, sf_dir):
     """
     from ocr_spark.kernels.layout import parse_table
 
-    words = F.split(F.col("text"), " ")
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     cells = F.transform(
         F.slice(words, 1, 6),
         lambda w, i: F.concat(
@@ -444,9 +444,9 @@ _SEC_SCHEMA = StructType(
     """
 WITH s AS (
   SELECT doc_id,
-         str_split(text, ' ') AS ws,
+         str_split(coalesce(text, ''), ' ') AS ws,
          unnest(generate_series(
-           0, CAST(ceil(len(str_split(text, ' ')) / 8.0) AS INTEGER) - 1)) AS j
+           0, CAST(ceil(len(str_split(coalesce(text, ''), ' ')) / 8.0) AS INTEGER) - 1)) AS j
   FROM documents
 ), c AS (
   SELECT doc_id, j,
@@ -484,7 +484,7 @@ def html_section_split(spark, sf_dir):
     """
     from ocr_spark.kernels.layout import split_sections
 
-    ws = F.split(F.col("text"), " ")
+    ws = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     nsec = F.ceil(F.size(ws) / F.lit(8.0)).cast("int")
     secs = F.transform(
         F.sequence(F.lit(0), nsec - F.lit(1)),

@@ -134,8 +134,9 @@ def test_merge_upsert_update_insert_delete(spark, tmp_path):
 
 def test_merge_upsert_target_never_shuffles(spark, tmp_path):
     """The anti-join must broadcast the change keys: no hash exchange
-    of the target side in the merged plan."""
-    from pyspark.sql import functions as F
+    of the target side in the plan merge_upsert actually constructs
+    (asserted on merge_plan, the exact DataFrame the merge writes)."""
+    from ocr_spark.maintenance import merge_plan
 
     path = str(tmp_path / "tbl2")
     spark.createDataFrame(
@@ -144,11 +145,9 @@ def test_merge_upsert_target_never_shuffles(spark, tmp_path):
     changes = spark.createDataFrame(
         [(1, "x", False)], "doc_id long, text string, _deleted boolean"
     )
-    target = spark.read.parquet(path)
-    kept = target.join(
-        F.broadcast(changes.select("doc_id")), on="doc_id", how="left_anti"
+    merged = merge_plan(
+        spark.read.parquet(path), changes, "doc_id", "_deleted"
     )
-    merged = kept.unionByName(changes.filter(~F.col("_deleted")).select("doc_id", "text"))
     import contextlib, io
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -156,3 +155,23 @@ def test_merge_upsert_target_never_shuffles(spark, tmp_path):
     p = buf.getvalue()
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "Exchange hashpartitioning" not in p
+
+
+def test_merge_upsert_null_delete_flag_is_upsert(spark, tmp_path):
+    """A change row with a NULL delete flag is an UPSERT, never a
+    silent delete: its key must survive with the new value, and
+    n_deletes must not count it."""
+    from ocr_spark.maintenance import merge_upsert
+
+    path = str(tmp_path / "tbl3")
+    spark.createDataFrame(
+        [(i, f"row{i}") for i in range(4)], "doc_id long, text string"
+    ).write.parquet(path)
+    changes = spark.createDataFrame(
+        [(2, "row2-v2", None), (3, None, True)],
+        "doc_id long, text string, _deleted boolean",
+    )
+    stats = merge_upsert(spark, path, changes)
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(path).collect()}
+    assert got == {0: "row0", 1: "row1", 2: "row2-v2"}
+    assert stats["n_upserts"] == 1 and stats["n_deletes"] == 1

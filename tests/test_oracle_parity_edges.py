@@ -216,3 +216,28 @@ def test_piece_regex_sql_mirror_fuzz(edge_duck):
     want = [len(_PIECE_RE.findall(t)) for t in cases]
     bad = [(c, g, w) for c, g, w in zip(cases, got, want) if g != w]
     assert not bad, f"first divergences: {bad[:3]}"
+
+
+def test_dom_family_parity_on_null_text(spark, tmp_path_factory):
+    """NULL documents.text through the three DOM queries: both engines
+    must agree (coalesce-to-'' on both sides).  Kept out of the shared
+    edge corpus because the OLDER closed-form oracles never declared a
+    NULL-text precondition either way; only the DOM family guards it."""
+    import duckdb
+
+    d = str(tmp_path_factory.mktemp("null_text"))
+    docs = pd.DataFrame(
+        [(0, "en", None, "edge", 0), (1, "fr", "two words", "edge", 9)],
+        columns=["doc_id", "lang", "text", "source", "n_chars"],
+    )
+    spark.createDataFrame(docs).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    for name in ("html_link_extract", "html_table_extract", "html_section_split"):
+        s = QUERIES[name](spark, d).toPandas()
+        o = con.execute(ORACLES[name]).df()
+        a = s[sorted(s.columns)].astype(str).sort_values(sorted(s.columns)).reset_index(drop=True)
+        b = o[sorted(o.columns)].astype(str).sort_values(sorted(o.columns)).reset_index(drop=True)
+        assert a.equals(b), name

@@ -530,7 +530,9 @@ def test_range_window_partitions_by_user(spark):
     """a16_range_window: one user_id hash exchange feeding a sorted
     single-pass window — no SinglePartition funnel."""
     p = _plan(QUERIES["a16_range_window"](spark, SF_DIR_ORACLE))
-    assert "Exchange SinglePartition" not in p.split("Sort")[0] or True
+    # the only exchanges allowed: the user_id window partitioning and
+    # the final presentation sort — never a SinglePartition funnel
+    assert "Exchange SinglePartition" not in p
     assert p.count("Exchange hashpartitioning") == 1
     assert "Window" in p and "Python" not in p
 
