@@ -657,3 +657,74 @@ def stream_tool_enrich(
     return a.join(b, cond, how).select(
         "conv_id", "turn_idx", "role", "ts", "tool_name", "tool_ts"
     )
+
+
+def run_merge_stream(
+    spark: SparkSession,
+    input_dir: str,
+    table_path: str,
+    key: str = "conv_id",
+    delete_col: str = "tool",
+    await_termination: bool = True,
+):
+    """CDC-style streaming MERGE sink: drain a stream of keyed change
+    rows and apply each micro-batch to a parquet table with
+    :func:`ocr_spark.maintenance.merge_upsert` (upsert on ``key``,
+    tombstone delete where ``delete_col == 'DELETE'``).
+
+    Replay safety without batch_id-keyed directories: ``foreachBatch``
+    is at-least-once, and a keyed MERGE is IDEMPOTENT — re-applying the
+    same change batch overwrites each key with the same row (or
+    re-deletes an already-absent key), so the crash-replayed batch
+    converges to the state it already produced.  Cross-batch ordering
+    is the streaming WAL's (file-source offsets), so last-writer-wins
+    follows arrival order.  The change schema is the transcript shape;
+    a production CDC feed would carry an explicit op column — the
+    ``delete_col == 'DELETE'`` encoding keeps the synthetic schema.
+    """
+    from pyspark.sql.functions import col, lit
+
+    from ocr_spark.maintenance import merge_upsert
+
+    os.makedirs(os.path.dirname(table_path) or ".", exist_ok=True)
+    if not os.path.exists(table_path):
+        # seed an empty table with the change-row data schema
+        empty = spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+        empty.write.parquet(table_path)
+
+    changes = read_transcript_stream(spark, input_dir)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # within one micro-batch, keys must be unique for MERGE: keep
+        # the last row per key by max(turn_idx) (arrival-order proxy in
+        # the synthetic feed)
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as SF
+
+        w = W.partitionBy(key).orderBy(SF.col("turn_idx").desc())
+        latest = (
+            batch_df.withColumn("_rn", SF.row_number().over(w))
+            .filter(SF.col("_rn") == 1)
+            .drop("_rn")
+        )
+        with_flag = latest.withColumn(
+            "_deleted", col(delete_col) == lit("DELETE")
+        )
+        merge_upsert(
+            batch_df.sparkSession, table_path, with_flag,
+            key=key, delete_col="_deleted", with_counts=False,
+        )
+
+    q = (
+        changes.writeStream.foreachBatch(commit_batch)
+        .option(
+            "checkpointLocation", table_path.rstrip("/") + "__merge_ckpt"
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q

@@ -706,3 +706,46 @@ def test_stream_tool_enrich_left_outer_emits_unmatched(spark, dirs, tmp_path):
         if r["conv_id"] != "zzz"
     }
     assert got == {("m000", "geo_lookup"), ("u000", None)}
+
+
+def test_run_merge_stream_cdc_upsert_delete(spark, dirs, tmp_path):
+    """Two micro-batches of keyed change rows merged into a table:
+    batch 2's update wins over batch 1's insert, the DELETE tombstone
+    removes its key, and replaying the final change file by hand (the
+    at-least-once case) leaves the table unchanged (MERGE idempotence)."""
+    from ocr_spark.maintenance import merge_upsert
+    from ocr_spark.streaming import TRANSCRIPT_SCHEMA, run_merge_stream
+
+    inp, _ = dirs
+    tbl = str(tmp_path / "state_table")
+
+    def change(cid, turn_idx, text, tool=None, ts="2024-01-01T00:00:00"):
+        return {"conv_id": cid, "turn_idx": turn_idx, "role": "assistant",
+                "text": text, "tool": tool, "ts": ts}
+
+    # max_files=1 -> one micro-batch per file, applied in drop order
+    _write_jsonl(os.path.join(inp, "b0.jsonl"),
+                 [change("c1", 0, "v1"), change("c2", 0, "other")])
+    _write_jsonl(os.path.join(inp, "b1.jsonl"),
+                 [change("c1", 1, "v2"),              # update c1
+                  change("c3", 0, "new"),             # insert c3
+                  change("c2", 1, None, tool="DELETE")])  # delete c2
+
+    run_merge_stream(spark, inp, tbl)
+    got = {r["conv_id"]: r["text"] for r in spark.read.parquet(tbl).collect()}
+    assert got == {"c1": "v2", "c3": "new"}
+
+    # replay the LAST batch manually: state must not change
+    import json as _json
+    rows = [_json.loads(l) for l in open(os.path.join(inp, "b1.jsonl"))]
+    replay = spark.createDataFrame(
+        [(r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"],
+          r["ts"].replace("T", " ")) for r in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts")).withColumn(
+        "_deleted", F.col("tool") == F.lit("DELETE"))
+    merge_upsert(spark, tbl, replay, key="conv_id", delete_col="_deleted",
+                 with_counts=False)
+    again = {r["conv_id"]: r["text"] for r in spark.read.parquet(tbl).collect()}
+    assert again == got
