@@ -175,3 +175,26 @@ def test_merge_upsert_null_delete_flag_is_upsert(spark, tmp_path):
     got = {r["doc_id"]: r["text"] for r in spark.read.parquet(path).collect()}
     assert got == {0: "row0", 1: "row1", 2: "row2-v2"}
     assert stats["n_upserts"] == 1 and stats["n_deletes"] == 1
+
+
+def test_merge_upsert_recovers_prior_crash_window(spark, tmp_path):
+    """A crash between the two swap renames leaves the table at
+    <path>.__compact_bak with <path> missing; the next merge_upsert
+    must roll that back first and then apply its changes normally."""
+    import os
+
+    from ocr_spark.maintenance import merge_upsert
+
+    path = str(tmp_path / "tbl4")
+    spark.createDataFrame(
+        [(i, f"row{i}") for i in range(3)], "doc_id long, text string"
+    ).write.parquet(path)
+    os.rename(path, path + ".__compact_bak")  # simulate the crash window
+
+    changes = spark.createDataFrame(
+        [(1, "row1-v2", False)], "doc_id long, text string, _deleted boolean"
+    )
+    stats = merge_upsert(spark, path, changes)
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(path).collect()}
+    assert got == {0: "row0", 1: "row1-v2", 2: "row2"}
+    assert stats["rows_before"] == 3 and not os.path.exists(path + ".__compact_bak")
