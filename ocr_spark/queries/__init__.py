@@ -70,6 +70,8 @@ _DRIVER_PRIORITY = [
     "a15_pivot_counts", "a16_range_window",
     # semi-structured JSON parse (NEW)
     "s10_json_props",
+    # grouping-sets single-pass breakdowns + blocked fuzzy match (NEW)
+    "a17_grouping_sets", "j11_fuzzy_match",
     # -- 2: latest driver evidence is r1/r2 (rotated out of r3's window) --
     # (p1_turn_merge rotated out for html_link_extract; its multiturn
     #  generalization passed r3 and pytest parity checks both each run)
@@ -110,7 +112,9 @@ _DRIVER_PRIORITY = [
     #  parity every run and LSH-family plan guards)
     # (stratified_sample rotated out for the late j9_star_join_share
     #  addition; pytest parity still checks it every run)
-    "ann_cosine_topk",
+    # (ann_cosine_topk rotated out for a17_grouping_sets; r2-green,
+    #  pytest parity checks it every run, the LSH/IVF scale paths stay
+    #  in-window)
     # (j8_pairwise_cosine rotated out for s10_json_props; r2-green,
     #  pytest parity checks it every run)
     # (a9_vector_mean rotated out for table_profile; r2-green and its
@@ -125,7 +129,11 @@ _DRIVER_PRIORITY = [
     #  room for the six new agent-family entries; pytest oracle parity
     #  still checks them every run)
     # -- 3: kept in-window: former hash-FAILs + token-contract anchors ----
-    "batch_packing", "text_repetition", "x13_token_count",
+    # (batch_packing rotated out for j11_fuzzy_match; its r2 HUGEINT
+    #  failure class is closed by the dtype-kind assertion in
+    #  tests/test_oracle_parity.py and it passed r3; pytest parity
+    #  checks it every run)
+    "text_repetition", "x13_token_count",
     "x5_token_split", "dedup_ngram_jaccard",
 ]
 

@@ -958,3 +958,74 @@ def s10_json_props(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@_register(
+    "a17_grouping_sets",
+    """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       COUNT(*) AS n
+FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
+ORDER BY lang, source
+""",
+)
+def a17_grouping_sets(spark, sf_dir):
+    """Non-hierarchical GROUPING SETS (a2_rollup covers the nested
+    ROLLUP form): per-lang totals, per-source totals, and the grand
+    total in ONE aggregation pass — Catalyst expands each input row
+    once per set (Expand) and aggregates with map-side partials, so
+    the table is scanned once instead of once per breakdown, which is
+    the whole point at 100 TB.  Coalesce-to-'ALL' markers keep the
+    output oracle-comparable (same convention as a2_rollup).
+    """
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("docs_gsets")
+    return spark.sql(
+        """
+        SELECT coalesce(lang, 'ALL') AS lang,
+               coalesce(source, 'ALL') AS source,
+               COUNT(*) AS n
+        FROM docs_gsets GROUP BY GROUPING SETS ((lang), (source), ())
+        ORDER BY lang, source
+        """
+    )
+
+
+@_register(
+    "j11_fuzzy_match",
+    """
+WITH s AS (SELECT DISTINCT source FROM documents)
+SELECT a.source AS a_source, b.source AS b_source,
+       CAST(levenshtein(a.source, b.source) AS INTEGER) AS dist
+FROM s a JOIN s b
+  ON substr(a.source, 1, 1) = substr(b.source, 1, 1)
+ AND a.source < b.source
+WHERE levenshtein(a.source, b.source) <= 1
+ORDER BY a_source, b_source
+""",
+)
+def j11_fuzzy_match(spark, sf_dir):
+    """Fuzzy self-match (edit distance <= 1) over the distinct source
+    labels, the record-linkage / near-key-dedup staple.  Shape: a
+    BLOCKED join — the equi key is a cheap blocking function (first
+    char here; length-bucket or q-gram blocks in production) so the
+    quadratic levenshtein recheck runs only within blocks, never
+    all-pairs across the corpus.  ``levenshtein`` is a built-in on
+    both engines with identical integer semantics, so the oracle is
+    exact.  The distinct-source dimension is tiny after its own
+    aggregation; the candidate join broadcasts it.
+    """
+    s = (
+        _t(spark, sf_dir, "documents")
+        .select("source").distinct()
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(
+        F.broadcast(b),
+        (F.expr("substr(a.source, 1, 1)") == F.expr("substr(b.source, 1, 1)"))
+        & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("a_source"),
+        F.col("b.source").alias("b_source"),
+        F.levenshtein(F.col("a.source"), F.col("b.source")).alias("dist"),
+    )
+    return pairs.filter(F.col("dist") <= 1).orderBy("a_source", "b_source")

@@ -558,3 +558,25 @@ def test_filters_push_down_to_parquet_scan(spark):
     pushed = p.split("PushedFilters: [")[1].split("]")[0]
     assert "GreaterThan(n_chars,300)" in pushed, p
     assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in p
+
+
+def test_grouping_sets_is_one_scan_expand_aggregate(spark):
+    """a17_grouping_sets: the three breakdowns share ONE table scan
+    via Expand + a single partial-aggregated exchange — never one
+    aggregation job per grouping set."""
+    p = _plan(QUERIES["a17_grouping_sets"](spark, SF_DIR_ORACLE))
+    assert p.count("Scan parquet") == 1
+    assert "Expand" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Python" not in p
+
+
+def test_fuzzy_match_is_blocked_broadcast_join(spark):
+    """j11_fuzzy_match: the candidate join must be blocked on the
+    cheap equi key (broadcast hash join on the block), with the
+    levenshtein recheck inside it — never an unblocked nested-loop
+    over the corpus."""
+    p = _plan(QUERIES["j11_fuzzy_match"](spark, SF_DIR_ORACLE))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "levenshtein" in p
