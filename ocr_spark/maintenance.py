@@ -52,6 +52,18 @@ def _data_file_count(path: str) -> int:
     return n
 
 
+def _small_file_count(path: str, threshold_bytes: int) -> int:
+    """Data files strictly smaller than ``threshold_bytes`` — the
+    fragmentation signal compaction exists to remove."""
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                if os.path.getsize(os.path.join(root, f)) < threshold_bytes:
+                    n += 1
+    return n
+
+
 def compact_parquet_dir(
     spark: SparkSession,
     path: str,
@@ -81,7 +93,13 @@ def compact_parquet_dir(
     before_bytes = _data_bytes(path)
     before_files = _data_file_count(path)
     n_out = max(1, -(-before_bytes // max(target_file_bytes, 1)))
-    if before_files < max(min_files_to_compact, n_out + 1):
+    # Skip on a FRAGMENTATION signal, not a size one: comparing file
+    # count to ceil(bytes/target) mis-skips e.g. 1x5GB + 39 tiny files
+    # at a 128MB target (n_out=41 > 40), exactly the small-file mess
+    # this pass exists to remove.  Compact whenever enough sub-target
+    # fragments exist; a directory of all >= target files is compact.
+    small_files = _small_file_count(path, target_file_bytes)
+    if small_files < min_files_to_compact:
         return {
             "path": path, "skipped": True,
             "files_before": before_files, "files_after": before_files,
@@ -227,3 +245,166 @@ def merge_upsert(
         "n_changes": n_changes, "n_deletes": n_deletes,
         "n_upserts": n_changes - n_deletes,
     }
+
+
+# ---------------------------------------------------------------------------
+# Bucketed copy-on-write MERGE
+# ---------------------------------------------------------------------------
+# merge_upsert rewrites the WHOLE table per change batch — the honest
+# cost of a flat parquet snapshot, but a full-table write at 100 TB for
+# a 0.01% change batch is the one remaining full-table cost in the CDC
+# path.  Laying the table out as hash-bucket DIRECTORIES (the directory
+# analog of Iceberg's bucket partition transform, same pmod(xxhash64)
+# family as bucketing.py's metastore layout) lets MERGE rewrite ONLY
+# the buckets whose keys changed: the other bucket directories are
+# never read, never written, byte-identical after the merge — the
+# file-level pruning that makes Iceberg copy-on-write affordable.
+
+#: directory partition column carrying the bucket id (key=value layout)
+BUCKET_COL = "_bucket"
+_BUCKET_MANIFEST = "_buckets.json"
+
+
+def _bucket_expr(key: str, n_buckets: int):
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.xxhash64(F.col(key).cast("string")),
+                  F.lit(n_buckets)).cast("int")
+
+
+def write_bucketed_snapshot(
+    spark: SparkSession,
+    df,
+    path: str,
+    key: str = "doc_id",
+    n_buckets: int = 16,
+) -> dict:
+    """Write ``df`` as a hash-bucketed directory snapshot.
+
+    Layout: ``<path>/_bucket=K/*.parquet`` with
+    ``K = pmod(xxhash64(key), n_buckets)``, plus a ``_buckets.json``
+    manifest pinning (key, n_buckets) so every later MERGE computes the
+    SAME bucket assignment — the co-location contract lives with the
+    data, not in call sites.  Reading the snapshot is plain
+    ``spark.read.parquet(path)`` (drop :data:`BUCKET_COL`, it is
+    derivable).  Bucket count is a layout constant sized once per table
+    family (buckets of several hundred MB at 100 TB), never per batch.
+    """
+    import json as _json
+
+    df.withColumn(BUCKET_COL, _bucket_expr(key, n_buckets)) \
+        .write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
+    with open(os.path.join(path, _BUCKET_MANIFEST), "w") as f:
+        _json.dump({"key": key, "n_buckets": n_buckets}, f)
+    return {"path": path, "n_buckets": n_buckets, "key": key}
+
+
+def read_bucketed_snapshot(spark: SparkSession, path: str):
+    """Read a bucketed snapshot back as data rows (bucket col dropped)."""
+    return spark.read.parquet(path).drop(BUCKET_COL)
+
+
+def merge_upsert_cow(
+    spark: SparkSession,
+    path: str,
+    changes,
+    delete_col: str = "_deleted",
+    broadcast_changes: bool = True,
+) -> dict:
+    """Keyed MERGE on a bucketed snapshot, rewriting ONLY changed
+    buckets (copy-on-write with file-level pruning).
+
+    Semantics are identical to :func:`merge_upsert` (same
+    :func:`merge_plan`: tombstone deletes, full-row upserts, NULL
+    delete flag = upsert); the difference is purely which bytes move.
+    Steps:
+
+    1. recover any bucket left mid-swap by a previous crash,
+    2. compute the changed-bucket set from ``changes`` (ONE distinct
+       over the change batch; at most ``n_buckets`` values),
+    3. read ONLY those bucket directories, merge, write the result
+       partitioned by the same bucket expression to a temp dir,
+    4. swap each changed bucket directory with the compaction
+       two-rename protocol (crash in any window is resolved by
+       :func:`recover_compaction` per bucket).
+
+    Unchanged buckets are untouched — not read, not rewritten; the
+    test pins their files byte-identical.  A crash between bucket
+    swaps leaves SOME buckets merged: per-bucket swaps are atomic, the
+    table is never torn within a bucket, and re-running the SAME keyed
+    change batch converges (keyed MERGE is replay-idempotent — the
+    already-merged buckets merge to themselves), which is exactly the
+    recovery contract the streaming CDC sink (run_merge_stream)
+    already relies on for replayed micro-batches.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(path, _BUCKET_MANIFEST)) as f:
+        meta = _json.load(f)
+    key, n_buckets = meta["key"], int(meta["n_buckets"])
+
+    # 1. self-recover every bucket dir (cheap: n_buckets stat calls) and
+    # drop a stale temp dir from a run that crashed before its swaps
+    for b in range(n_buckets):
+        recover_compaction(os.path.join(path, f"{BUCKET_COL}={b}"))
+    shutil.rmtree(path.rstrip("/") + ".__merge_tmp", ignore_errors=True)
+
+    # 2. changed buckets: bounded by n_buckets, a legitimate driver set
+    changed = sorted(
+        r["b"]
+        for r in changes.select(
+            _bucket_expr(key, n_buckets).alias("b")
+        ).distinct().collect()
+    )
+    agg = changes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce(F.col(delete_col), F.lit(False)).cast("long")
+              ).alias("d"),
+    ).first()
+    stats = {
+        "path": path, "n_buckets": n_buckets,
+        "buckets_rewritten": changed,
+        "n_changes": agg["n"], "n_deletes": agg["d"] or 0,
+        "n_upserts": agg["n"] - (agg["d"] or 0),
+    }
+    if not changed:
+        return stats
+
+    # 3. merge ONLY the changed buckets' rows
+    src_dirs = [
+        os.path.join(path, f"{BUCKET_COL}={b}")
+        for b in changed
+        if os.path.isdir(os.path.join(path, f"{BUCKET_COL}={b}"))
+    ]
+    if src_dirs:
+        target = spark.read.parquet(*src_dirs)
+    else:  # all-new buckets (first rows hashing there)
+        target = changes.drop(delete_col).limit(0)
+    merged = merge_plan(target, changes, key, delete_col,
+                        broadcast_changes)
+
+    tmp = path.rstrip("/") + ".__merge_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.withColumn(BUCKET_COL, _bucket_expr(key, n_buckets)) \
+        .write.partitionBy(BUCKET_COL).mode("overwrite").parquet(tmp)
+
+    # 4. per-bucket atomic swaps (two-rename protocol per bucket)
+    for b in changed:
+        live = os.path.join(path, f"{BUCKET_COL}={b}")
+        new = os.path.join(tmp, f"{BUCKET_COL}={b}")
+        bak = live + ".__compact_bak"
+        if not os.path.isdir(new):
+            # bucket emptied by deletes (or never materialized):
+            # partitionBy skips empty groups — drop the live dir
+            if os.path.isdir(live):
+                os.rename(live, bak)
+                shutil.rmtree(bak)
+            continue
+        if os.path.isdir(live):
+            os.rename(live, bak)
+        os.rename(new, live)
+        shutil.rmtree(bak, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return stats

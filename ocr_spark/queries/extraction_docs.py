@@ -528,9 +528,14 @@ def html_section_split(spark, sf_dir):
 #: PageRank.  The quadratic map collides (d and N-d square alike) and
 #: the mod-97 map concentrates mass on a 97-node hub set, so in-degrees
 #: genuinely vary and the iteration has something to converge on.
+#: Each map reduces doc_id mod n BEFORE multiplying: n is bounded by the
+#: corpus row count, so (doc_id % n)^2 stays inside int64 even for the
+#: exotic ~1e11 doc_ids the edge suite feeds in, whereas doc_id^2 would
+#: silently wrap in Spark (ANSI off) while DuckDB promotes to HUGEINT —
+#: the engines would diverge exactly on the large-id corpora.
 _PR_DSTS = (
-    "(doc_id * doc_id + 7) % {n}",
-    "(31 * doc_id + 7) % {n}",
+    "((doc_id % {n}) * (doc_id % {n}) + 7) % {n}",
+    "(31 * (doc_id % {n}) + 7) % {n}",
     "doc_id % 97",
 )
 _PR_SCALE = 1_000_000          # initial score per node

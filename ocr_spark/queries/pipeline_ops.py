@@ -1673,6 +1673,8 @@ def ann_ivf_probe(spark, sf_dir):
 
     @F.pandas_udf(LongType())
     def nearest_cent(es: pd.Series) -> pd.Series:
+        if len(es) == 0:  # np.stack raises on an empty Arrow batch
+            return pd.Series([], dtype="int64")
         E = np.stack(es.to_numpy())
         d2 = (E * E).sum(1, keepdims=True) + cn2[None, :] - 2 * (E @ C.T)
         return pd.Series(cids[np.argmin(d2, axis=1)])
@@ -1888,6 +1890,8 @@ def kmeans_train(spark, sf_dir):
     def _make_nearest(Cl, cn2):
         @F.pandas_udf(LongType())
         def nearest(es: pd.Series) -> pd.Series:
+            if len(es) == 0:  # np.stack raises on an empty Arrow batch
+                return pd.Series([], dtype="int64")
             E = np.stack(es.to_numpy())
             d2 = (E * E).sum(axis=1, keepdims=True) + cn2[None, :] - 2 * (E @ Cl.T)
             return pd.Series(np.argmin(d2, axis=1))

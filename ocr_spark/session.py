@@ -67,6 +67,14 @@ def get_spark(
         # ~= cores at bench scale and is a no-op at 100 TB where
         # totalBytes/parallelism dominates the floor.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # Pin the session timezone: events.ts is TIMESTAMP_NTZ and the
+        # value-range window queries order by unix_micros(ts.cast(
+        # 'timestamp')) — the NTZ->TIMESTAMP cast applies the session
+        # zone, and on a DST-observing host zone the offset changes
+        # across transitions, shifting trailing-frame membership away
+        # from the DuckDB oracle (epoch_us treats NTZ as absolute).
+        # UTC makes the cast a fixed-offset no-op everywhere.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch size bounds pandas-UDF memory per task.  Swept at
         # 4k/6k/10k/20k/40k on the 16.5M-turn render path (round 3,

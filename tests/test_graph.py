@@ -59,3 +59,52 @@ def test_star_and_minlabel_agree_on_lsh_graph(spark):
     da = dict(zip(a["doc_id"], a["cluster_id"]))
     db = dict(zip(b["doc_id"], b["cluster_id"]))
     assert da == db
+
+
+def test_pagerank_large_doc_ids_no_int64_wrap(spark, tmp_path):
+    """link_pagerank's quadratic link map must reduce doc_id mod n
+    BEFORE squaring: doc_id^2 overflows int64 past ~3e9 and Spark
+    (ANSI off) silently wraps to negative dst values that join
+    nothing, while DuckDB promotes to HUGEINT — engine divergence on
+    exactly the large-id corpora the edge suite advertises.  Pin
+    Spark == DuckDB on ids up to ~9.9e10 AND that every dst is a real
+    node index (no wrapped negatives)."""
+    import duckdb
+    import pandas as pd
+
+    from ocr_spark.queries import ORACLES, QUERIES
+
+    big_ids = [0, 3, 2_000_000_011, 98_765_432_101, 9_876_543_210_987]
+    d = str(tmp_path / "bigids")
+    docs = pd.DataFrame(
+        [(i, "en", f"doc {i}", "edge", 6) for i in big_ids],
+        columns=["doc_id", "lang", "text", "source", "n_chars"],
+    )
+    spark.createDataFrame(docs).coalesce(1).write.parquet(
+        f"{d}/documents.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    got = QUERIES["link_pagerank"](spark, d).toPandas()
+    want = con.execute(ORACLES["link_pagerank"]).df()
+    con.close()
+    assert sorted(zip(got["doc_id"], got["score"])) == sorted(
+        zip(want["doc_id"], want["score"].astype("int64"))
+    )
+    # and the two n-modular maps stay in-range (0 <= dst < n) — a wrap
+    # would show as a negative dst.  (The mod-97 hub map intentionally
+    # targets a fixed 97-node set; dsts >= n join nothing, identically
+    # in both engines.)
+    from ocr_spark.queries.extraction_docs import _PR_DSTS
+    from pyspark.sql import functions as F
+
+    docs_df = spark.read.parquet(f"{d}/documents.parquet").select("doc_id")
+    n = docs_df.count()
+    for tmpl in _PR_DSTS[:2]:
+        dsts = docs_df.select(
+            F.expr(tmpl.format(n=n)).alias("dst")
+        ).toPandas()["dst"]
+        assert (dsts >= 0).all() and (dsts < n).all(), tmpl

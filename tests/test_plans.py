@@ -580,3 +580,26 @@ def test_fuzzy_match_is_blocked_broadcast_join(spark):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "levenshtein" in p
+
+
+def test_session_timezone_pinned_utc(spark):
+    """The session timezone is pinned to UTC: a16_range_window orders
+    its RANGE frame by unix_micros(ts.cast('timestamp')), and the
+    NTZ->TIMESTAMP cast applies the session zone — on a DST-observing
+    host zone the offset changes across transitions, shifting
+    trailing-1h frame membership away from the DuckDB oracle (epoch_us
+    treats NTZ as absolute).  UTC makes the cast a constant no-op."""
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    # the invariant itself: NTZ->timestamp->micros == absolute micros
+    row = (
+        spark.sql(
+            "SELECT unix_micros(CAST(TIMESTAMP_NTZ '2024-07-01 12:34:56.789'"
+            " AS TIMESTAMP)) AS a"
+        ).collect()[0]
+    )
+    import datetime as _dt
+    want = int(
+        _dt.datetime(2024, 7, 1, 12, 34, 56, 789000,
+                     tzinfo=_dt.timezone.utc).timestamp() * 1_000_000
+    )
+    assert row["a"] == want

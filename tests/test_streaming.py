@@ -749,3 +749,196 @@ def test_run_merge_stream_cdc_upsert_delete(spark, dirs, tmp_path):
                  with_counts=False)
     again = {r["conv_id"]: r["text"] for r in spark.read.parquet(tbl).collect()}
     assert again == got
+
+
+def test_composed_streaming_job_end_to_end_kill_resume(spark, dirs, tmp_path):
+    """The full composed streaming job (VERDICT r4 item 6): source ->
+    stateful assembler + extraction -> streaming exact-dedup of the
+    extracted rows -> keyed CDC MERGE sink, with the event-time
+    windowed aggregation running off the same source.  Each stage is
+    individually pinned elsewhere; this drains the COMPOSITION in two
+    phases (half the drop-files, every stage, then the rest — each
+    stage resumes its own checkpoint exactly as a killed-and-restarted
+    job would), additionally stops the dedup stage mid-drain and
+    restarts it, and pins the final merged table equal to the batch
+    extraction over the deduplicated corpus."""
+    import time
+
+    from pyspark.sql import functions as SF
+    from pyspark.sql.types import StructField, StringType
+
+    from ocr_spark.maintenance import merge_upsert
+    from ocr_spark.pipeline import EXTRACT_SCHEMA, extract_conversations
+    from ocr_spark.streaming import (
+        TRANSCRIPT_SCHEMA,
+        read_transcript_stream,
+        run_assemble_stream,
+        stream_turn_rate,
+    )
+
+    inp, out = dirs
+    outA = os.path.join(out, "stageA")           # assembled + extracted
+    outB = os.path.join(out, "stageB")           # deduped
+    outC = os.path.join(out, "stageC")           # windowed agg
+    table = os.path.join(out, "final_table")     # CDC MERGE target
+    mrg_ckpt = os.path.join(out, "merge_ckpt")
+
+    def conv(i):
+        a = ["Akureyri is North of City 50337.", "4200 km",
+             "i am not sure"][i % 3]
+        return [
+            {"conv_id": f"e{i:03d}", "turn_idx": 0, "role": "user",
+             "text": f"From City 50337 to Akureyri, how far? ({i})",
+             "tool": None, "ts": f"2024-01-01T{i % 3:02d}:{i:02d}:00"},
+            {"conv_id": f"e{i:03d}", "turn_idx": 1, "role": "assistant",
+             "text": a, "tool": None,
+             "ts": f"2024-01-01T{i % 3:02d}:{i:02d}:01"},
+        ]
+
+    convs = [conv(i) for i in range(18)]
+
+    # ---- stage plumbing ---------------------------------------------------
+    fp = SF.md5(SF.concat_ws(
+        "\x1f", "conv_id", SF.col("turn_idx").cast("string"), "role",
+        SF.coalesce("clean_text", SF.lit("")),
+    ))
+    # StructType.add MUTATES self — build fresh copies, never .add on
+    # the shared pipeline schema
+    from pyspark.sql.types import StructType
+
+    dedup_schema = StructType(
+        list(EXTRACT_SCHEMA.fields) + [StructField("fp", StringType())])
+
+    # seed the MERGE target: extraction schema + composite key column
+    key_schema = StructType(
+        list(EXTRACT_SCHEMA.fields) + [StructField("_k", StringType())])
+    if not os.path.exists(table):
+        spark.createDataFrame([], key_schema).write.parquet(table)
+
+    def drain_stage_b(kill_mid=False):
+        def start():
+            return (
+                spark.readStream.schema(EXTRACT_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(outA, "data"))
+                .withColumn("fp", fp)
+                .dropDuplicates(["fp"])
+                .writeStream.format("parquet")
+                .option("path", os.path.join(outB, "data"))
+                .option("checkpointLocation", os.path.join(outB, "_ckpt"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q = start()
+        if kill_mid:
+            # stop after the first committed micro-batch (best-effort:
+            # if the drain wins the race the restart is a no-op and the
+            # composition must STILL converge)
+            for _ in range(200):
+                if any(p["numInputRows"] > 0 for p in q.recentProgress):
+                    break
+                time.sleep(0.05)
+            q.stop()
+            q.awaitTermination()
+            q = start()                      # resume from the checkpoint
+        q.awaitTermination()
+
+    def commit_merge(bdf, _bid):
+        if bdf.isEmpty():
+            return
+        ch = (
+            bdf.drop("fp")
+            .withColumn("_k", SF.concat_ws(
+                ":", "conv_id", SF.col("turn_idx").cast("string")))
+            .withColumn("_deleted", SF.lit(False))
+        )
+        merge_upsert(bdf.sparkSession, table, ch, key="_k",
+                     delete_col="_deleted", with_counts=False)
+
+    def commit_window(bdf, _bid):
+        bdf.write.mode("overwrite").parquet(os.path.join(outC, "data"))
+
+    def drain_all(kill_mid=False):
+        pending = run_assemble_stream(spark, inp, outA, max_files=1)
+        assert pending == 0
+        drain_stage_b(kill_mid=kill_mid)
+        qd = (
+            spark.readStream.schema(dedup_schema)
+            .parquet(os.path.join(outB, "data"))
+            .writeStream.foreachBatch(commit_merge)
+            .option("checkpointLocation", mrg_ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qd.awaitTermination()
+        qc = (
+            stream_turn_rate(
+                read_transcript_stream(spark, inp)
+                .filter(SF.col("ts").isNotNull())
+            )
+            .writeStream.foreachBatch(commit_window)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(outC, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qc.awaitTermination()
+
+    # ---- phase 1: convs 0-8 ----------------------------------------------
+    _write_jsonl(os.path.join(inp, "p1_turns.jsonl"),
+                 [t for c in convs[:9] for t in c])
+    _write_jsonl(os.path.join(inp, "p1_markers.jsonl"),
+                 [_eoc(c[0]["conv_id"], len(c)) for c in convs[:9]])
+    drain_all()
+    n_phase1 = spark.read.parquet(os.path.join(table)).count()
+    assert n_phase1 == 9 * 2
+
+    # ---- phase 2: convs 9-17 PLUS byte-identical replays of 0-5 -----------
+    replay = convs[:6]
+    _write_jsonl(os.path.join(inp, "p2_turns.jsonl"),
+                 [t for c in convs[9:] + replay for t in c])
+    _write_jsonl(os.path.join(inp, "p2_markers.jsonl"),
+                 [_eoc(c[0]["conv_id"], len(c)) for c in convs[9:] + replay])
+    drain_all(kill_mid=True)
+
+    # ---- final pins --------------------------------------------------------
+    # (a) merged table == batch extraction over the DEDUPED corpus
+    key = lambda r: (r["conv_id"], r["turn_idx"], r["role"],
+                     r["clean_text"],
+                     tuple((s["key"], s["start"], s["end"])
+                           for s in (r["char_spans"] or [])),
+                     r["block_class"], r["answer"], r["status"],
+                     r["n_tokens"])
+    got = sorted(map(key, spark.read.parquet(table).drop("_k").collect()))
+    batch_in = spark.createDataFrame(
+        [(t["conv_id"], t["turn_idx"], t["role"], t["text"], None, None)
+         for c in convs for t in c],
+        TRANSCRIPT_SCHEMA,
+    )
+    want = sorted(map(key, extract_conversations(batch_in).collect()))
+    assert got == want and len(got) == 18 * 2
+
+    # (b) the replayed conversations produced NO duplicate keys anywhere
+    dup = (spark.read.parquet(table).groupBy("_k").count()
+           .filter(SF.col("count") > 1).count())
+    assert dup == 0
+
+    # (c) windowed agg over both phases == batch windowed agg over all files
+    got_w = sorted(
+        (str(r["window_start"]), r["role"], r["n_turns"], r["total_chars"])
+        for r in spark.read.parquet(os.path.join(outC, "data")).collect()
+    )
+    batch_w = (
+        spark.read.schema(TRANSCRIPT_SCHEMA).json(inp)
+        .filter(SF.col("ts").isNotNull())
+        .groupBy(SF.window("ts", "1 hour").alias("w"), "role")
+        .agg(SF.count("*").alias("n_turns"),
+             SF.sum(SF.length("text")).alias("total_chars"))
+    )
+    want_w = sorted(
+        (str(r["w"]["start"]), r["role"], r["n_turns"], r["total_chars"])
+        for r in batch_w.collect()
+    )
+    assert got_w == want_w and len({w for (w, _, _, _) in got_w}) == 3
