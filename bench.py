@@ -227,6 +227,13 @@ def bench_stream_assemble(spark, n_convs: int = 20_000, n_files: int = 16,
     ``files_per_batch`` per micro-batch, so conversations genuinely
     cross state-store boundaries across ~n_files/files_per_batch
     micro-batches.  Reported turns/s EXCLUDES the marker control rows.
+
+    Two configurations per round (round-5 profile, BENCH.md §6): the
+    4-micro-batch drain (state genuinely crosses micro-batch
+    boundaries — the correctness-shaped number) and a single-batch
+    drain of the same files (the throughput-shaped number: the
+    assembler's cost is per-micro-batch state machinery, so trigger
+    sizing is the 4x lever; profile in scripts/profile_assembler.py).
     """
     from ocr_spark.streaming import run_assemble_stream, with_eoc_markers
     from ocr_spark.synth import transcripts
@@ -253,9 +260,20 @@ def bench_stream_assemble(spark, n_convs: int = 20_000, n_files: int = 16,
             f"stream drain incomplete: {out_rows}/{n_turns} rows, "
             f"{pending} conversations still buffered"
         )
+        # tuned config: every file in ONE micro-batch — one state-store
+        # load/commit cycle instead of n_files/files_per_batch
+        out1 = os.path.join(tmp, "out1")
+        t0 = time.time()
+        pending1 = run_assemble_stream(spark, inp, out1,
+                                       max_files=n_files, fmt="parquet")
+        sec1 = round(time.time() - t0, 3)
+        out_rows1 = spark.read.parquet(os.path.join(out1, "data")).count()
+        assert out_rows1 == n_turns and pending1 == 0
         return {"convs": n_convs, "turns": n_turns, "sec": sec,
                 "turns_per_sec": round(n_turns / sec, 1),
-                "micro_batches": n_files // files_per_batch}
+                "micro_batches": n_files // files_per_batch,
+                "sec_single_batch": sec1,
+                "turns_per_sec_single_batch": round(n_turns / sec1, 1)}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

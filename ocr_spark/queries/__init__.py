@@ -23,118 +23,45 @@ import ocr_spark.queries.bpe_ops  # noqa: F401
 # (tests/test_oracle_parity.py) remains the authoritative check — the
 # driver window is confirmation, not the only net a regression can hit.
 #
-# Round-4 sections:
-# 1. changed this round: w5_batch_pad (first-ever oracle — the one
-#    rows-only cell of r3), ann_ivf_probe (map-only assignment
-#    rewrite), pipeline_extract (render path gained the oversized-
-#    conversation reroute guard), dedup_clusters_star (exact
-#    convergence confirm), x12_char_suffix (zip-fold rewrite), plus
-#    the eleven NEW queries (dedup_span_ngram, contamination_check,
-#    topk_ngrams, winnowing_fingerprint, dedup_incremental, and the
-#    six agent-family entries),
-# 2. queries whose latest driver row is r1/r2 (everything the r3
-#    window rotated out) — refresh their evidence.  To make room for
-#    the five new entries, the five most trivial r2-greens (j5_union,
-#    j7_dedup, a7_cumsum, w4_stride_sample, a6_rolling_mean) stay
-#    out-of-window this round; pytest oracle parity still checks them
-#    every run,
-# 3. high-value r3-green rows kept in-window per rule (a)'s spirit:
-#    the two former hash-FAILs and the token-contract anchors.
+# Round-5 sections (union matrix after r4: all 131 green at latest
+# check; the 69 r4-window entries now carry fresh evidence, so this
+# round's window refreshes the STALEST driver rows instead):
+# 1. implementation/oracle changed in round 5 (standing rule (a)):
+#    link_pagerank (mod-before-square link maps, ADVICE),
+#    a16_range_window (session timezone pinned UTC under it),
+#    ann_ivf_probe + kmeans_train (empty-Arrow-batch UDF guards),
+# 2. every query whose latest driver row is r1/r2 (40 entries — the
+#    r3/r4 windows rotated them out; pytest parity has covered them
+#    every session and scripts/full_correctness.py now commits a
+#    full-catalog snapshot per round, but the driver's own record
+#    should rotate back over them),
+# 3. the remaining 6 slots: the heaviest r3-latest entries
+#    (dedup_clusters, simhash_hamming_pairs, dedup_minhash_lsh_pairs,
+#    embedding_neardup, udf_grouped_map, udf_grouped_agg).
+# Rotated out (all r4-green, pytest parity every run +
+# CORRECTNESS_FULL_r5.json): the r4-new families (agent, CCNet, BPE,
+# DOM, n-gram) and the r4-changed five.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # -- 1: implementation/oracle changed (or NEW) in round 4 -------------
-    "w5_batch_pad", "ann_ivf_probe", "pipeline_extract",
-    "dedup_clusters_star", "x12_char_suffix",
-    "dedup_span_ngram", "contamination_check", "topk_ngrams",
-    "winnowing_fingerprint", "dedup_incremental",
-    # the agent-transcript family (NEW this round: input_hint tool/ts)
-    "tool_call_stats", "tool_latency", "sessionize_gaps",
-    "asof_tool_join", "turn_rate_windows", "tool_transitions",
-    # late round-4 additions (NEW): PII scrub + tf-idf terms + OCR
-    # reflow + Gopher rule filter
-    "pii_scrub", "tfidf_top_terms", "ocr_page_reflow",
-    "gopher_quality_filter", "kmeans_train", "pq_encode",
-    "turn_payload_extract", "j9_star_join_share",
-    # CCNet completion pair + chunking + normalization + allocation (NEW)
-    "line_dedup", "lm_bigram_score", "doc_chunk_windows",
-    "text_normalize", "sample_alloc", "ccnet_head_middle_tail",
-    "clean_corpus", "exact_substr_excise", "bpe_train", "bpe_encode",
-    "dedup_cluster_sizes", "j10_range_join",
-    # DOM extraction additions (NEW): outlink histogram, table parse,
-    # section split with spans, link-graph PageRank
-    "html_link_extract", "html_table_extract", "html_section_split",
-    "link_pagerank", "table_profile",
-    # relational-surface completion (NEW): explicit-value pivot +
-    # RANGE-frame event-time window
-    "a15_pivot_counts", "a16_range_window",
-    # semi-structured JSON parse (NEW)
-    "s10_json_props",
-    # grouping-sets single-pass breakdowns + blocked fuzzy match (NEW)
-    "a17_grouping_sets", "j11_fuzzy_match",
-    # -- 2: latest driver evidence is r1/r2 (rotated out of r3's window) --
-    # (p1_turn_merge rotated out for html_link_extract; its multiturn
-    #  generalization passed r3 and pytest parity checks both each run)
-    # (x3_render rotated out for link_pagerank; the render kernel is
-    #  byte-pinned and x3_render_multiturn passed r3; pytest parity
-    #  checks both every run)
-    # (x4_marker_split rotated out for dedup_cluster_sizes; pytest
-    #  parity checks it every run, kernel golden-tested)
-    # (x2_extract_answer rotated out for bpe_encode; pytest parity
-    #  checks it every run and the kernel is golden-tested)
-    # (x8_block_classify rotated out for html_table_extract; r2-green,
-    #  kernel golden-tested, pytest parity checks it every run)
-    # (x1_parse_imports rotated out for bpe_train; pytest parity
-    #  checks it every run and its kernel is golden-tested)
-    # (x6_span_count rotated out for exact_substr_excise; pytest
-    #  parity checks it every run)
-    # (p4_substitute, x9_regex_field, j2_contains_join rotated out for
-    #  the CCNet pair + doc_chunk_windows; pytest parity checks them
-    #  every run)
-    # (p10_sanitize rotated out for the late gopher_quality_filter
-    #  addition; pytest parity still checks it every run)
-    # (j1_broadcast_lookup rotated out for ccnet_head_middle_tail; its
-    #  2-BHJ plan stays asserted in tests and pytest parity checks it)
-    # (j4_cross_expand, j6_anti_join also rotated out for the two late
-    #  additions — same rule as the note below)
-    # (a1_grouped_accuracy, a2_rollup rotated out for text_normalize +
-    #  sample_alloc; pytest parity checks them every run)
-    # (a5_topk_per_group rotated out for clean_corpus — a5_topk was
-    #  already out for ocr_page_reflow; pytest parity checks both)
-    # (a14_shift_compare rotated out for the late kmeans_train
-    #  addition; pytest parity still checks it every run)
-    # (w2_seeded_split rotated out for the late pq_encode addition;
-    #  pytest parity still checks it every run)
-    # (x6_char_spans rotated out for the late turn_payload_extract
-    #  addition; pytest parity still checks it every run)
-    # (dedup_exact, dedup_minhash_signatures rotated out for the two
-    #  relational-surface additions; both r1/r2-green with pytest
-    #  parity every run and LSH-family plan guards)
-    # (stratified_sample rotated out for the late j9_star_join_share
-    #  addition; pytest parity still checks it every run)
-    # (ann_cosine_topk rotated out for a17_grouping_sets; r2-green,
-    #  pytest parity checks it every run, the LSH/IVF scale paths stay
-    #  in-window)
-    # (j8_pairwise_cosine rotated out for s10_json_props; r2-green,
-    #  pytest parity checks it every run)
-    # (a9_vector_mean rotated out for table_profile; r2-green and its
-    #  udf_grouped_agg twin passed r3; pytest parity checks it every
-    #  run)
-    # (text_quality rotated out for html_section_split; r2-green,
-    #  re-measured in BENCH.md §3a, pytest parity checks it every run)
-    # (lang_id rotated out for j10_range_join; pytest parity checks it
-    #  every run)
-    # (token_count_ws, doc_fingerprint, a4_ratio_of_sums, a8_cumlogsum,
-    #  a10_kl_divergence, w6_interpolation_sweep rotated out to make
-    #  room for the six new agent-family entries; pytest oracle parity
-    #  still checks them every run)
-    # -- 3: kept in-window: former hash-FAILs + token-contract anchors ----
-    # (batch_packing rotated out for j11_fuzzy_match; its r2 HUGEINT
-    #  failure class is closed by the dtype-kind assertion in
-    #  tests/test_oracle_parity.py and it passed r3; pytest parity
-    #  checks it every run)
-    "text_repetition", "x13_token_count",
-    "x5_token_split", "dedup_ngram_jaccard",
+    # -- 1: implementation/oracle changed in round 5 ----------------------
+    "link_pagerank", "a16_range_window", "ann_ivf_probe", "kmeans_train",
+    # -- 2: latest driver evidence is r1/r2 -------------------------------
+    "a10_kl_divergence", "a14_shift_compare", "a1_grouped_accuracy",
+    "a2_rollup", "a4_ratio_of_sums", "a5_topk", "a5_topk_per_group",
+    "a6_rolling_mean", "a7_cumsum", "a8_cumlogsum", "a9_vector_mean",
+    "ann_cosine_topk", "dedup_exact", "dedup_minhash_signatures",
+    "doc_fingerprint", "j1_broadcast_lookup", "j2_contains_join",
+    "j4_cross_expand", "j5_union", "j6_anti_join", "j7_dedup",
+    "j8_pairwise_cosine", "lang_id", "p10_sanitize", "p1_turn_merge",
+    "p4_substitute", "stratified_sample", "text_quality",
+    "token_count_ws", "w2_seeded_split", "w4_stride_sample",
+    "w6_interpolation_sweep", "x1_parse_imports", "x2_extract_answer",
+    "x3_render", "x4_marker_split", "x6_char_spans", "x6_span_count",
+    "x8_block_classify", "x9_regex_field",
+    # -- 3: heaviest r3-latest entries ------------------------------------
+    "dedup_clusters", "simhash_hamming_pairs", "dedup_minhash_lsh_pairs",
+    "embedding_neardup", "udf_grouped_map", "udf_grouped_agg",
 ]
 
 

@@ -174,3 +174,85 @@ def test_iceberg_writer_import_guarded(spark):
     assert not iceberg_runtime_available(spark)  # sandbox has no jar
     with pytest.raises(RuntimeError, match="iceberg-spark runtime"):
         IcebergSnapshotWriter(spark, "cat.db.data", "cat.db.lineage")
+
+
+def test_iceberg_writer_call_contract(spark, monkeypatch):  # noqa: ARG001 — spark only provides the active context Column exprs need
+    """The Iceberg runtime jar does not exist in this sandbox, so the
+    ~45 lines of IcebergSnapshotWriter can never run against a live
+    catalog here (README/VERDICT residual).  What CAN be pinned without
+    the jar is the call contract those lines make — the part a typo
+    would silently break for a user with a real catalog: data commits
+    stamp the bucket column and go through
+    writeTo(data_table).overwritePartitions() (dynamic-partition
+    overwrite = retry-idempotent per bucket), lineage rows stamp the
+    bucket and go through writeTo(lineage_table).append(), and
+    read_output filters the catalog table to the committed buckets."""
+    from ocr_spark import iceberg as ice
+
+    calls = []
+
+    class FakeWriteTo:
+        def __init__(self, table):
+            self.table = table
+
+        def overwritePartitions(self):
+            calls.append(("overwritePartitions", self.table))
+
+        def append(self):
+            calls.append(("append", self.table))
+
+    class FakeDF:
+        def __init__(self, cols=()):
+            self.cols = dict(cols)
+
+        def withColumn(self, name, col):
+            d = FakeDF(self.cols)
+            d.cols[name] = col
+            calls.append(("withColumn", name, str(col)))
+            return d
+
+        def writeTo(self, table):
+            calls.append(("writeTo", table))
+            return FakeWriteTo(table)
+
+        def filter(self, cond):
+            calls.append(("filter", str(cond)))
+            return self
+
+    class FakeSpark:
+        def table(self, name):
+            calls.append(("table", name))
+            return FakeDF()
+
+    monkeypatch.setattr(ice, "iceberg_runtime_available", lambda s: True)
+    w = ice.IcebergSnapshotWriter(FakeSpark(), "cat.db.data", "cat.db.lineage")
+
+    w.write_bucket_data(FakeDF(), bucket=7)
+    assert calls[-2:] == [("writeTo", "cat.db.data"),
+                          ("overwritePartitions", "cat.db.data")]
+    assert ("withColumn", "bucket", str(F.lit(7))) in calls
+
+    calls.clear()
+    w.write_lineage_row(FakeDF(), bucket=3)
+    assert calls[-2:] == [("writeTo", "cat.db.lineage"),
+                          ("append", "cat.db.lineage")]
+    assert ("withColumn", "bucket", str(F.lit(3))) in calls
+
+    calls.clear()
+    w.read_output([1, 4])
+    assert calls[0] == ("table", "cat.db.data")
+    assert calls[1][0] == "filter" and "in(bucket, 1, 4)" in calls[1][1]
+
+    calls.clear()
+    w.read_lineage()
+    assert calls == [("table", "cat.db.lineage")]
+
+    # the empty-committed guard mirrors the parquet writer's
+    with pytest.raises(ValueError):
+        w.read_output([])
+
+    # and WITHOUT the patch the constructor refuses (no jar here) —
+    # probed against the REAL session, the exact deployment error path
+    monkeypatch.undo()
+    with pytest.raises(RuntimeError, match="iceberg-spark runtime"):
+        ice.IcebergSnapshotWriter(spark, "a", "b")
