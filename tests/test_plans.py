@@ -603,3 +603,55 @@ def test_session_timezone_pinned_utc(spark):
                      tzinfo=_dt.timezone.utc).timestamp() * 1_000_000
     )
     assert row["a"] == want
+
+
+def test_c4_quality_filter_is_map_only(spark):
+    """c4_quality_filter: the whole rule set is native expressions that
+    fuse into the parquet scan — zero exchanges, zero Python."""
+    p = _plan(QUERIES["c4_quality_filter"](spark, SF_DIR_ORACLE))
+    assert "Exchange" not in p
+    assert "Python" not in p
+
+
+def test_url_normalize_single_window_exchange(spark):
+    """url_normalize: everything up to the keeper window is map-only
+    codegen; the ONLY exchange is the window partitioning on the
+    canonical URL (the key a crawl-scale URL dedup shuffles by)."""
+    p = _plan(QUERIES["url_normalize"](spark, SF_DIR_ORACLE))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in p
+    assert "Python" not in p
+
+
+def test_dedup_keep_best_is_one_combining_aggregation(spark):
+    """dedup_keep_best: ONE aggregation exchange on the cluster
+    fingerprint with a partial max(struct) that combines map-side —
+    never a row_number window (which would buffer a hot boilerplate
+    cluster's rows on a single reducer)."""
+    p = _plan(QUERIES["dedup_keep_best"](spark, SF_DIR_ORACLE))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_max" in p
+    assert "Window" not in p
+    assert "Python" not in p
+
+
+def test_dsir_corpus_side_never_shuffled_by_bucket(spark):
+    """dsir_importance: the 256-row weight table is BROADCAST onto the
+    gram stream (two BroadcastHashJoins: src-to-tgt and grams-to-w);
+    the only row-scale exchanges are the bounded bucket aggregations
+    and the final per-doc sum — the gram stream itself is never
+    sort-merge-joined or repartitioned by bucket."""
+    p = _plan(QUERIES["dsir_importance"](spark, SF_DIR_ORACLE))
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
+    assert "Python" not in p
+
+
+def test_seq_len_histogram_partial_aggregates(spark):
+    """seq_len_histogram: one exchange carrying <=64 buckets per map
+    task (partial count/sum/min/max combine map-side)."""
+    p = _plan(QUERIES["seq_len_histogram"](spark, SF_DIR_ORACLE))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in p or "partial" in p
+    assert "Python" not in p
