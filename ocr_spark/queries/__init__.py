@@ -47,17 +47,17 @@ import ocr_spark.queries.corpus_ops  # noqa: F401
 _DRIVER_PRIORITY = [
     # -- 0: NEW in round 5 (standing rule (a); corpus_ops.py) --------------
     "c4_quality_filter", "url_normalize", "dedup_keep_best",
-    "dsir_importance", "seq_len_histogram",
+    "dsir_importance", "seq_len_histogram", "semdedup",
     # -- 1: implementation/oracle changed in round 5 ----------------------
     "link_pagerank", "a16_range_window", "ann_ivf_probe", "kmeans_train",
     # -- 2: latest driver evidence is r1/r2 -------------------------------
     "a10_kl_divergence", "a14_shift_compare", "a1_grouped_accuracy",
-    "a2_rollup", "a4_ratio_of_sums", "a5_topk", "a5_topk_per_group",
+    "a2_rollup", "a4_ratio_of_sums", "a5_topk_per_group",
     "a6_rolling_mean", "a7_cumsum", "a8_cumlogsum", "a9_vector_mean",
-    # (five trivial r2-greens rotated back out to make room for the new
+    # (six trivial r2-greens rotated back out to make room for the new
     #  corpus_ops entries — j5_union, j7_dedup, p10_sanitize,
-    #  w4_stride_sample, x6_span_count; all covered every session by
-    #  pytest parity + the committed full-catalog snapshot)
+    #  w4_stride_sample, x6_span_count, a5_topk; all covered every
+    #  session by pytest parity + the committed full-catalog snapshot)
     "ann_cosine_topk", "dedup_exact", "dedup_minhash_signatures",
     "doc_fingerprint", "j1_broadcast_lookup", "j2_contains_join",
     "j4_cross_expand", "j6_anti_join",

@@ -64,7 +64,16 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ocr_spark.queries.catalog import _register, _t
-from ocr_spark.queries.pipeline_ops import sql_str_hash, str_hash
+from ocr_spark.queries.pipeline_ops import (
+    cosine_from_micros,
+    dot_micros,
+    micros,
+    sql_dot_micros,
+    sql_micros_extract,
+    sql_norm2_micros,
+    sql_str_hash,
+    str_hash,
+)
 
 # ---------------------------------------------------------------------------
 # C4 line-rule quality filter (Raffel et al. 2020 §2.2)
@@ -616,5 +625,162 @@ def seq_len_histogram(spark, sf_dir):
             "total_words",
             "min_words",
             "max_words",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic dedup over embeddings
+# ---------------------------------------------------------------------------
+
+#: cosine threshold above which two within-cluster vectors are
+#: semantic duplicates.  Production SemDeDup on real encoder
+#: embeddings uses ~0.95+; the sandbox's synthetic embeddings are
+#: near-uniform (within-cluster p99 cosine ~= 0.31 at sf0.01), so the
+#: threshold is set where the operator genuinely discriminates.
+SEMDEDUP_TAU = 0.3
+_SEM_K = 4  # coarse clusters (production: k grows with corpus size)
+
+_SQL_SEM_V = f"""
+  SELECT vec_id,
+         [{sql_micros_extract('embedding', 'i')}
+          FOR i IN generate_series(1, 64)] AS m
+  FROM embeddings
+"""
+
+_SQL_SEMDEDUP = f"""
+WITH v AS ({_SQL_SEM_V}),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, m
+  FROM v ORDER BY vec_id LIMIT {_SEM_K}
+),
+d AS (
+  SELECT v.vec_id, c.cid,
+         CAST(list_sum([ (v.m[i] - c.m[i]) * (v.m[i] - c.m[i])
+                         FOR i IN generate_series(1, 64)]) AS BIGINT) AS d2
+  FROM v CROSS JOIN cent c
+),
+a AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d) WHERE rn = 1
+),
+n2 AS (
+  SELECT vec_id, {sql_norm2_micros('embedding')} AS n2 FROM embeddings
+),
+pairs AS (
+  SELECT la.vec_id AS ida, lb.vec_id AS idb
+  FROM a la JOIN a lb ON la.cid = lb.cid AND la.vec_id < lb.vec_id
+  JOIN n2 na ON na.vec_id = la.vec_id AND na.n2 > 0
+  JOIN n2 nb ON nb.vec_id = lb.vec_id AND nb.n2 > 0
+  JOIN embeddings ea ON ea.vec_id = la.vec_id
+  JOIN embeddings eb ON eb.vec_id = lb.vec_id
+  WHERE CAST({sql_dot_micros('ea.embedding', 'eb.embedding')} AS DOUBLE)
+        / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+        > {SEMDEDUP_TAU}
+),
+closes AS (
+  SELECT ida AS vec_id FROM pairs UNION ALL SELECT idb FROM pairs
+),
+ncl AS (SELECT vec_id, count(*) AS n_close FROM closes GROUP BY vec_id),
+dropped AS (SELECT DISTINCT idb AS vec_id FROM pairs)
+SELECT a.vec_id, a.cid,
+       CAST(coalesce(ncl.n_close, 0) AS BIGINT) AS n_close,
+       dropped.vec_id IS NULL AS keep
+FROM a LEFT JOIN ncl ON ncl.vec_id = a.vec_id
+       LEFT JOIN dropped ON dropped.vec_id = a.vec_id
+"""
+
+
+@_register("semdedup", _SQL_SEMDEDUP)
+def semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023 "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): assign every
+    embedding to a coarse cluster, compare pairs ONLY within a
+    cluster, and drop every vector with a smaller-id neighbor above
+    the cosine threshold (keep-first policy; the paper keeps one
+    representative per over-threshold group).  Zero-norm vectors
+    carry no direction and are excluded from pairing (kept, n_close
+    0) — cosine would be 0/0.
+
+    Scale shape: the point of SemDeDup is that the quadratic pair
+    comparison is confined to clusters — pair count is sum over
+    clusters of |c|^2, and production runs grow k with the corpus to
+    keep |c| bounded.  Here the assignment is pure map-side codegen
+    (the k=4 codebook is a driver artifact of k x 64 ints, same
+    policy as kmeans_train/ann_ivf_probe: distances via aggregate/
+    zip_with against literal centroid arrays, argmin ties to the
+    smaller cid), so the only row-scale exchanges are the within-
+    cluster self-join on cid and the per-vector rollups.  A skewed
+    hot cluster is an input-quality problem (k too small), not a plan
+    problem — AQE skew-join splitting applies to the cid join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", micros(F.col("embedding")).alias("m"))
+    init = v.orderBy("vec_id").limit(_SEM_K).collect()
+    if not init:
+        return spark.createDataFrame(
+            [], schema="vec_id BIGINT, cid BIGINT, n_close BIGINT, keep BOOLEAN"
+        )
+    cents = [list(r["m"]) for r in init]
+
+    def _d2(k: int):
+        lit = F.array(*[F.lit(int(x)).cast("long") for x in cents[k]])
+        return F.aggregate(
+            F.zip_with(F.col("m"), lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"d2_{k}")
+
+    scored = v.select("vec_id", "m", *[_d2(k) for k in range(len(cents))])
+    m_expr = F.least(*[F.col(f"d2_{k}") for k in range(len(cents))])
+    cid = F.lit(None).cast("long")
+    # first match wins -> ties resolve to the smaller cid, matching
+    # the oracle's ORDER BY d2, cid
+    expr = None
+    for k in range(len(cents)):
+        cond = F.col(f"d2_{k}") == m_expr
+        expr = F.when(cond, F.lit(k)) if expr is None else expr.when(cond, F.lit(k))
+    assigned = scored.select(
+        "vec_id",
+        "m",
+        expr.cast("long").alias("cid"),
+        dot_micros(F.col("m"), F.col("m")).alias("n2"),
+    )
+    nz = assigned.filter(F.col("n2") > 0)
+    la = nz.select(
+        F.col("vec_id").alias("ida"), F.col("cid").alias("cid"),
+        F.col("m").alias("ma"), F.col("n2").alias("na"),
+    )
+    lb = nz.select(
+        F.col("vec_id").alias("idb"), F.col("cid").alias("cidb"),
+        F.col("m").alias("mb"), F.col("n2").alias("nb"),
+    )
+    pairs = (
+        la.join(lb, (F.col("cid") == F.col("cidb")) & (F.col("ida") < F.col("idb")))
+        .filter(
+            cosine_from_micros(
+                dot_micros(F.col("ma"), F.col("mb")), F.col("na"), F.col("nb")
+            )
+            > SEMDEDUP_TAU
+        )
+        .select("ida", "idb")
+    )
+    closes = pairs.select(F.col("ida").alias("vec_id")).unionAll(
+        pairs.select(F.col("idb").alias("vec_id"))
+    )
+    ncl = closes.groupBy("vec_id").agg(F.count("*").alias("n_close"))
+    dropped = pairs.select(F.col("idb").alias("vec_id")).distinct().withColumn(
+        "is_dropped", F.lit(True)
+    )
+    return (
+        assigned.select("vec_id", "cid")
+        .join(ncl, "vec_id", "left")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce(F.col("n_close"), F.lit(0)).cast("long").alias("n_close"),
+            F.col("is_dropped").isNull().alias("keep"),
         )
     )

@@ -655,3 +655,14 @@ def test_seq_len_histogram_partial_aggregates(spark):
     assert p.count("Exchange hashpartitioning") == 1
     assert "partial_count" in p or "partial" in p
     assert "Python" not in p
+
+
+def test_semdedup_pairs_confined_to_equi_cid_join(spark):
+    """semdedup: the quadratic comparison must be an EQUI join on the
+    cluster id (sort-merge or shuffled-hash, never a cartesian
+    product), with the centroid assignment map-side (no Python, no
+    per-centroid join)."""
+    p = _plan(QUERIES["semdedup"](spark, SF_DIR_ORACLE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Python" not in p
