@@ -733,8 +733,9 @@ def semdedup(spark, sf_dir):
         ).alias(f"d2_{k}")
 
     scored = v.select("vec_id", "m", *[_d2(k) for k in range(len(cents))])
-    m_expr = F.least(*[F.col(f"d2_{k}") for k in range(len(cents))])
-    cid = F.lit(None).cast("long")
+    d2_cols = [F.col(f"d2_{k}") for k in range(len(cents))]
+    # F.least needs >= 2 args; a 1-vector corpus has a single centroid
+    m_expr = F.least(*d2_cols) if len(d2_cols) > 1 else d2_cols[0]
     # first match wins -> ties resolve to the smaller cid, matching
     # the oracle's ORDER BY d2, cid
     expr = None
