@@ -151,7 +151,11 @@ def c4_quality_filter(spark, sf_dir):
     parquet scan (plan-guarded: zero exchanges)."""
     docs = _t(spark, sf_dir, "documents")
     terms = ", ".join(f"'{t}'" for t in _C4_TERMS)
-    pages = docs.select(
+    # bind the word array once — slice(split(text), ..) inside the
+    # per-line lambda would re-split the document per LINE (see the
+    # dsir_importance gram builder for the measured cost of that trap)
+    wdocs = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    pages = wdocs.select(
         "doc_id",
         F.expr(
             f"""
@@ -159,12 +163,11 @@ def c4_quality_filter(spark, sf_dir):
               if(pmod(doc_id, 7) = 0, array('{_C4_JS_LINE}'),
                  array_remove(array(''), '')),
               transform(
-                sequence(0, cast(ceil(size(split(text, ' ')) / {_C4_LINE_W}.0)
+                sequence(0, cast(ceil(size(ws) / {_C4_LINE_W}.0)
                                  AS int) - 1),
                 i -> concat(
-                       array_join(slice(split(text, ' '),
-                                        i * {_C4_LINE_W} + 1, {_C4_LINE_W}),
-                                  ' '),
+                       array_join(slice(ws, i * {_C4_LINE_W} + 1,
+                                        {_C4_LINE_W}), ' '),
                        element_at(array({terms}),
                                   cast(pmod(doc_id + i, 4) AS int) + 1))),
               if(pmod(doc_id, 11) = 0, array('{_C4_LOREM_LINE}'),
@@ -522,20 +525,22 @@ def dsir_importance(spark, sf_dir):
     is never shuffled by bucket; the only row-scale exchange is the
     final per-doc sum, with map-side partial aggregation."""
     docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(
+    # bind the word array ONCE, bigrams via zip_with over two slices:
+    # element_at(split(text), i) inside a transform lambda re-evaluates
+    # the split per BIGRAM — O(words^2) per doc, measured 7x slower
+    base = docs.select("doc_id", "lang", F.split("text", " ").alias("ws"))
+    grams = base.select(
         "doc_id",
         "lang",
         F.explode(
             F.expr(
                 """
                 concat(
-                  split(text, ' '),
-                  if(size(split(text, ' ')) >= 2,
-                     transform(sequence(1, size(split(text, ' ')) - 1),
-                               i -> concat(element_at(split(text, ' '), i),
-                                           ' ',
-                                           element_at(split(text, ' '),
-                                                      i + 1))),
+                  ws,
+                  if(size(ws) >= 2,
+                     zip_with(slice(ws, 1, size(ws) - 1),
+                              slice(ws, 2, size(ws) - 1),
+                              (a, b) -> concat(a, ' ', b)),
                      array_remove(array(''), ''))
                 )
                 """
@@ -546,25 +551,25 @@ def dsir_importance(spark, sf_dir):
         "lang",
         F.pmod(str_hash(F.col("g")), F.lit(_DSIR_B)).alias("b"),
     )
-    tgt = (
-        grams.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count("*").alias("ct"))
+    # BOTH distributions from ONE pass over the gram stream (the md5
+    # bucket hash is the dominant per-gram cost; a separate
+    # target-slice aggregation would recompute it corpus-wide)
+    dist = grams.groupBy("b").agg(
+        F.count("*").alias("cs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
     )
-    src = grams.groupBy("b").agg(F.count("*").alias("cs"))
-    t_tot = tgt.agg(F.coalesce(F.sum("ct"), F.lit(1)).alias("t"))
-    s_tot = src.agg(F.coalesce(F.sum("cs"), F.lit(1)).alias("s"))
-    w = (
-        src.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(t_tot))
-        .crossJoin(F.broadcast(s_tot))
-        .select(
-            "b",
-            (
-                F.expr(f"({_DSIR_SCALE} * coalesce(ct, 0)) div t")
-                - F.expr(f"({_DSIR_SCALE} * cs) div s")
-            ).alias("w_ppm"),
-        )
+    # greatest(.., 1): a corpus with no target-language docs has
+    # sum(ct) = 0 (not NULL) — the oracle's empty-tgt coalesce yields 1
+    tot = dist.agg(
+        F.greatest(F.coalesce(F.sum("ct"), F.lit(1)), F.lit(1)).alias("t"),
+        F.greatest(F.coalesce(F.sum("cs"), F.lit(1)), F.lit(1)).alias("s"),
+    )
+    w = dist.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.expr(f"({_DSIR_SCALE} * ct) div t")
+            - F.expr(f"({_DSIR_SCALE} * cs) div s")
+        ).alias("w_ppm"),
     )
     return (
         grams.join(F.broadcast(w), "b")

@@ -636,13 +636,14 @@ def test_dedup_keep_best_is_one_combining_aggregation(spark):
 
 
 def test_dsir_corpus_side_never_shuffled_by_bucket(spark):
-    """dsir_importance: the 256-row weight table is BROADCAST onto the
-    gram stream (two BroadcastHashJoins: src-to-tgt and grams-to-w);
-    the only row-scale exchanges are the bounded bucket aggregations
-    and the final per-doc sum — the gram stream itself is never
+    """dsir_importance: BOTH distributions come from ONE aggregation
+    pass over the gram stream, and the resulting 256-row weight table
+    is BROADCAST back onto it (exactly one BroadcastHashJoin); the
+    only row-scale exchanges are the bounded bucket aggregation and
+    the final per-doc sum — the gram stream itself is never
     sort-merge-joined or repartitioned by bucket."""
     p = _plan(QUERIES["dsir_importance"](spark, SF_DIR_ORACLE))
-    assert p.count("BroadcastHashJoin") == 2
+    assert p.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in p
     assert "ShuffledHashJoin" not in p
     assert "Python" not in p
