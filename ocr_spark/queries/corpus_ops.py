@@ -772,21 +772,32 @@ def semdedup(spark, sf_dir):
         )
         .select("ida", "idb")
     )
-    closes = pairs.select(F.col("ida").alias("vec_id")).unionAll(
-        pairs.select(F.col("idb").alias("vec_id"))
-    )
-    ncl = closes.groupBy("vec_id").agg(F.count("*").alias("n_close"))
-    dropped = pairs.select(F.col("idb").alias("vec_id")).distinct().withColumn(
-        "is_dropped", F.lit(True)
+    # ONE pass over the quadratic pair stream: explode each pair into
+    # both (vec_id, was-the-larger-id) roles, then a single aggregation
+    # yields n_close AND the drop flag.  The obvious spelling —
+    # closes = ida UNION ALL idb, dropped = DISTINCT idb, two joins —
+    # evaluates the pair join THREE times (no subtree reuse across the
+    # union/distinct consumers); at scale the quadratic stage is the
+    # whole cost, so recomputing it is the defect, not the join order.
+    sides = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("ida").alias("vec_id"), F.lit(False).alias("is_b")),
+                F.struct(F.col("idb").alias("vec_id"), F.lit(True).alias("is_b")),
+            )
+        ).alias("s")
+    ).select("s.vec_id", "s.is_b")
+    ncl = sides.groupBy("vec_id").agg(
+        F.count("*").alias("n_close"),
+        F.max("is_b").alias("is_dropped"),
     )
     return (
         assigned.select("vec_id", "cid")
         .join(ncl, "vec_id", "left")
-        .join(dropped, "vec_id", "left")
         .select(
             "vec_id",
             "cid",
             F.coalesce(F.col("n_close"), F.lit(0)).cast("long").alias("n_close"),
-            F.col("is_dropped").isNull().alias("keep"),
+            (~F.coalesce(F.col("is_dropped"), F.lit(False))).alias("keep"),
         )
     )

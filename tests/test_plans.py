@@ -662,8 +662,14 @@ def test_semdedup_pairs_confined_to_equi_cid_join(spark):
     """semdedup: the quadratic comparison must be an EQUI join on the
     cluster id (sort-merge or shuffled-hash, never a cartesian
     product), with the centroid assignment map-side (no Python, no
-    per-centroid join)."""
+    per-centroid join) — and it must appear in the executed plan
+    exactly ONCE (the union/distinct spelling of the n_close/dropped
+    rollups re-evaluated the quadratic pair stage three times)."""
     p = _plan(QUERIES["semdedup"](spark, SF_DIR_ORACLE))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Python" not in p
+    # the pair join is the only operator referencing the lb-side
+    # cluster-id alias; one occurrence = the quadratic stage runs once
+    assert sum(1 for ln in p.splitlines()
+               if "Join" in ln and "cidb" in ln) == 1
