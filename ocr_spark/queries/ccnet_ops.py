@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 
 from ocr_spark.queries.catalog import _register, _t
 from ocr_spark.queries.derive import derived_transcripts, with_transcripts
+from ocr_spark.queries.pipeline_ops import bind_words
 
 # ---------------------------------------------------------------------------
 # line-level corpus dedup (CCNet paragraph dedup on transcript payloads)
@@ -155,12 +156,15 @@ GROUP BY doc_id
 
 #: Per-occurrence bigram list ("w1 w2" strings); <2-word docs yield an
 #: empty array in BOTH engines (Spark's sequence(1, 0) would step DOWN
-#: — same guard rationale as _GRAMS_EXPR in pipeline_ops).
+#: — same guard rationale as _GRAMS_EXPR in pipeline_ops).  Built from
+#: a pre-bound ``ws`` word array via zip_with over two slices:
+#: element_at(split(text), i) inside the transform lambda re-evaluated
+#: the split per BIGRAM — O(words^2) per doc (BENCH.md §3e).
 _BG_EXPR = (
-    "CASE WHEN size(split(text, ' ')) >= 2"
-    " THEN transform(sequence(1, size(split(text, ' ')) - 1),"
-    "      i -> concat(element_at(split(text, ' '), i), ' ',"
-    "                  element_at(split(text, ' '), i + 1)))"
+    "CASE WHEN size(ws) >= 2"
+    " THEN zip_with(slice(ws, 1, size(ws) - 1),"
+    "               slice(ws, 2, size(ws) - 1),"
+    "               (a, b) -> concat(a, ' ', b))"
     " ELSE array() END"
 )
 
@@ -182,7 +186,9 @@ def lm_bigram_score(spark, sf_dir):
     absent in both engines.
     """
     docs = _t(spark, sf_dir, "documents")
-    occ = docs.select("doc_id", F.explode(F.expr(_BG_EXPR)).alias("bgram"))
+    occ = bind_words(docs, "doc_id").select(
+        "doc_id", F.explode(F.expr(_BG_EXPR)).alias("bgram")
+    )
     model = (
         occ.groupBy("bgram")
         .agg(F.count(F.lit(1)).alias("c12"))

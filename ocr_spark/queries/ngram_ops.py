@@ -45,6 +45,7 @@ from ocr_spark.queries.catalog import _register, _t
 from ocr_spark.queries.pipeline_ops import (
     _GRAMS_EXPR,
     _SQL_SHINGLES,
+    bind_words,
     shingles,
     sql_str_hash,
     str_hash,
@@ -63,10 +64,13 @@ SPAN_STRIDE = 2
 # Strided k-word windows.  The CASE guard mirrors _GRAMS_EXPR: Spark's
 # sequence(1, 0) auto-steps DOWN while DuckDB's generate_series(1, 0)
 # is empty — the guard makes short docs drop identically.
+# References a pre-bound ``ws`` word array (pipeline_ops.bind_words):
+# split(text) inside the lambda body is not CSE'd and would re-split
+# the document per window (BENCH.md §3e).
 _WIN_EXPR = (
-    f"CASE WHEN size(split(text, ' ')) >= {SPAN_K}"
-    f" THEN transform(sequence(1, size(split(text, ' ')) - {SPAN_K - 1}, {SPAN_STRIDE}),"
-    f"      i -> array_join(slice(split(text, ' '), i, {SPAN_K}), ' '))"
+    f"CASE WHEN size(ws) >= {SPAN_K}"
+    f" THEN transform(sequence(1, size(ws) - {SPAN_K - 1}, {SPAN_STRIDE}),"
+    f"      i -> array_join(slice(ws, i, {SPAN_K}), ' '))"
     " ELSE array() END"
 )
 
@@ -110,7 +114,9 @@ def dedup_span_ngram(spark, sf_dir):
     shorter than SPAN_K words produce no windows and are absent.
     """
     docs = _t(spark, sf_dir, "documents")
-    wins = docs.select("doc_id", F.explode(F.expr(_WIN_EXPR)).alias("win"))
+    wins = bind_words(docs, "doc_id").select(
+        "doc_id", F.explode(F.expr(_WIN_EXPR)).alias("win")
+    )
     byw = Window.partitionBy("win")
     flagged = wins.withColumn(
         "dup",
@@ -218,7 +224,7 @@ def topk_ngrams(spark, sf_dir):
     the top-k SET is deterministic in both engines.
     """
     docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(F.explode(F.expr(_GRAMS_EXPR)).alias("sh"))
+    grams = bind_words(docs).select(F.explode(F.expr(_GRAMS_EXPR)).alias("sh"))
     return (
         grams.groupBy("sh")
         .agg(F.count("*").alias("n"))
@@ -244,10 +250,10 @@ _H40_MOD = 1 << 40
 # positioned 3-grams: array<struct<pos,sh>> with pos = 1-based start
 # word index (matches DuckDB's generate_series exactly).
 _POS_GRAMS_EXPR = (
-    "CASE WHEN size(split(text, ' ')) >= 3"
-    " THEN transform(sequence(1, size(split(text, ' ')) - 2),"
+    "CASE WHEN size(ws) >= 3"
+    " THEN transform(sequence(1, size(ws) - 2),"
     "      i -> named_struct('pos', i, 'sh',"
-    "           array_join(slice(split(text, ' '), i, 3), ' ')))"
+    "           array_join(slice(ws, i, 3), ' ')))"
     " ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, sh: STRING>>) END"
 )
 
@@ -298,7 +304,7 @@ def winnowing_fingerprint(spark, sf_dir):
     (already doc-partitioned) picks.
     """
     docs = _t(spark, sf_dir, "documents")
-    g = docs.select(
+    g = bind_words(docs, "doc_id").select(
         "doc_id", F.explode(F.expr(_POS_GRAMS_EXPR)).alias("pg")
     ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.sh").alias("sh"))
     h40 = str_hash(F.col("sh")) % F.lit(_H40_MOD)
@@ -341,9 +347,9 @@ def winnowing_fingerprint(spark, sf_dir):
 EX_K = 4
 
 _EX_WIN_EXPR = (
-    f"CASE WHEN size(split(text, ' ')) >= {EX_K}"
-    f" THEN transform(sequence(1, size(split(text, ' ')) - {EX_K - 1}),"
-    f"      i -> struct(i AS i, array_join(slice(split(text, ' '), i, {EX_K}), ' ')"
+    f"CASE WHEN size(ws) >= {EX_K}"
+    f" THEN transform(sequence(1, size(ws) - {EX_K - 1}),"
+    f"      i -> struct(i AS i, array_join(slice(ws, i, {EX_K}), ' ')"
     f"                    AS win))"
     " ELSE array() END"
 )
@@ -407,7 +413,7 @@ def exact_substr_excise(spark, sf_dir):
 def exact_substr_core(docs):
     """Core of :func:`exact_substr_excise` over any ``(doc_id, text)``
     frame — factored so tests can pin keep-one-copy on planted spans."""
-    wins = docs.select(
+    wins = bind_words(docs, "doc_id").select(
         "doc_id", F.explode(F.expr(_EX_WIN_EXPR)).alias("pw")
     ).select("doc_id", F.col("pw.i").alias("i"), F.col("pw.win").alias("win"))
     byw = Window.partitionBy("win")

@@ -93,20 +93,35 @@ def cosine_from_micros(dot: Column, n2a: Column, n2b: Column) -> Column:
 # <3-word guard matters: Spark's sequence(1, 0) auto-steps DOWN to
 # [1, 0] and slice(words, 0, 3) then throws at runtime, while DuckDB's
 # generate_series(1, 0) is silently empty — the CASE makes both engines
-# drop short docs identically (ADVICE r2).
+# drop short docs identically (ADVICE r2).  References a pre-bound
+# ``ws`` word-array column (see bind_words): Spark does NOT
+# common-subexpression-eliminate an expression inside a lambda body, so
+# the old split(text)-in-lambda spelling re-split the document once per
+# GRAM — O(words^2) per doc, measured 3x slower at sf0.1 (BENCH.md §3e).
 _GRAMS_EXPR = (
-    "CASE WHEN size(split(text, ' ')) >= 3"
-    " THEN transform(sequence(1, size(split(text, ' ')) - 2),"
-    "      i -> array_join(slice(split(text, ' '), i, 3), ' '))"
+    "CASE WHEN size(ws) >= 3"
+    " THEN transform(sequence(1, size(ws) - 2),"
+    "      i -> array_join(slice(ws, i, 3), ' '))"
     " ELSE array() END"
 )
+
+
+def bind_words(df: DataFrame, *keep: str) -> DataFrame:
+    """Project the whitespace word array ONCE as ``ws`` (plus ``keep``
+    columns) so gram-builder lambdas read an attribute instead of
+    re-evaluating split(text) per element.  CollapseProject leaves the
+    binding in place because ``ws`` is non-cheap and referenced more
+    than once."""
+    return df.select(*keep, F.split("text", " ").alias("ws"))
 
 
 # shingles: 3-word n-grams over whitespace-split words
 def shingles(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     grams = F.expr(_GRAMS_EXPR)
-    return df.select(id_col, F.explode_outer(F.array_distinct(grams)).alias("sh")).filter(
-        F.col("sh").isNotNull()
+    return (
+        bind_words(df, id_col)
+        .select(id_col, F.explode_outer(F.array_distinct(grams)).alias("sh"))
+        .filter(F.col("sh").isNotNull())
     )
 
 
@@ -1233,7 +1248,9 @@ def text_repetition(spark, sf_dir):
     end.  Docs with <3 words have no 3-grams and drop out of BOTH
     engines (the _GRAMS_EXPR guard / empty generate_series)."""
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(F.expr(_GRAMS_EXPR)).alias("sh"))
+    sh = bind_words(docs, "doc_id").select(
+        "doc_id", F.explode(F.expr(_GRAMS_EXPR)).alias("sh")
+    )
     counts = sh.groupBy("doc_id", "sh").agg(F.count("*").alias("c"))
     per = counts.groupBy("doc_id").agg(
         F.sum("c").alias("n_grams"), F.max("c").alias("top_count")
