@@ -50,23 +50,34 @@ _DRIVER_PRIORITY = [
     "dsir_importance", "seq_len_histogram", "semdedup",
     # -- 1: implementation/oracle changed in round 5 ----------------------
     "link_pagerank", "a16_range_window", "ann_ivf_probe", "kmeans_train",
+    # -- 1b: plans changed by the round-5 gram-builder binding
+    #    (pipeline_ops.bind_words, BENCH.md §3e — standing rule (a);
+    #    results bit-identical under pytest parity, but the driver
+    #    should re-check every query whose executed plan changed) ---------
+    "dedup_ngram_jaccard", "minhash_jaccard_est", "dedup_incremental",
+    "dedup_clusters_star", "dedup_cluster_sizes", "contamination_check",
+    "topk_ngrams", "winnowing_fingerprint", "dedup_span_ngram",
+    "exact_substr_excise", "text_repetition", "lm_bigram_score",
+    "ccnet_head_middle_tail",
     # -- 2: latest driver evidence is r1/r2 -------------------------------
-    "a10_kl_divergence", "a14_shift_compare", "a1_grouped_accuracy",
-    "a2_rollup", "a4_ratio_of_sums", "a5_topk_per_group",
-    "a6_rolling_mean", "a7_cumsum", "a8_cumlogsum", "a9_vector_mean",
-    # (six trivial r2-greens rotated back out to make room for the new
-    #  corpus_ops entries — j5_union, j7_dedup, p10_sanitize,
-    #  w4_stride_sample, x6_span_count, a5_topk; all covered every
-    #  session by pytest parity + the committed full-catalog snapshot)
+    "a10_kl_divergence", "a5_topk_per_group", "a8_cumlogsum",
+    "a9_vector_mean",
+    # (nineteen trivial r2-greens rotated back out to make room for the
+    #  corpus_ops entries and the 1b plan-changed set — j5_union,
+    #  j7_dedup, p10_sanitize, w4_stride_sample, x6_span_count, a5_topk,
+    #  a14_shift_compare, a1_grouped_accuracy, a2_rollup,
+    #  a4_ratio_of_sums, a6_rolling_mean, a7_cumsum, j1_broadcast_lookup,
+    #  j2_contains_join, j4_cross_expand, j6_anti_join, p4_substitute,
+    #  w2_seeded_split, x9_regex_field; all covered every session by
+    #  pytest parity + the committed full-catalog snapshot)
     "ann_cosine_topk", "dedup_exact", "dedup_minhash_signatures",
-    "doc_fingerprint", "j1_broadcast_lookup", "j2_contains_join",
-    "j4_cross_expand", "j6_anti_join",
+    "doc_fingerprint",
     "j8_pairwise_cosine", "lang_id", "p1_turn_merge",
-    "p4_substitute", "stratified_sample", "text_quality",
-    "token_count_ws", "w2_seeded_split",
+    "stratified_sample", "text_quality",
+    "token_count_ws",
     "w6_interpolation_sweep", "x1_parse_imports", "x2_extract_answer",
     "x3_render", "x4_marker_split", "x6_char_spans",
-    "x8_block_classify", "x9_regex_field",
+    "x8_block_classify",
     # -- 3: heaviest r3-latest entries ------------------------------------
     "dedup_clusters", "simhash_hamming_pairs", "dedup_minhash_lsh_pairs",
     "embedding_neardup", "udf_grouped_map", "udf_grouped_agg",
