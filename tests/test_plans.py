@@ -673,3 +673,17 @@ def test_semdedup_pairs_confined_to_equi_cid_join(spark):
     # cluster-id alias; one occurrence = the quadratic stage runs once
     assert sum(1 for ln in p.splitlines()
                if "Join" in ln and "cidb" in ln) == 1
+
+
+def test_bloom_prefilter_train_side_is_map_only(spark):
+    """bloom_prefilter: the returned plan screens the train side
+    against a LITERAL bitmask (the eval-side aggregation happens in a
+    separate bounded driver job) — so the plan must contain NO join of
+    any kind and exactly ONE exchange (the final per-doc aggregation,
+    with map-side partials).  This is the operator's whole value at
+    100 TB: the crawl-side scan never waits on a shuffle."""
+    p = _plan(QUERIES["bloom_prefilter"](spark, SF_DIR_ORACLE))
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in p
+    assert "Python" not in p
