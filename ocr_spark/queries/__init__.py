@@ -48,6 +48,7 @@ _DRIVER_PRIORITY = [
     # -- 0: NEW in round 5 (standing rule (a); corpus_ops.py + bloom) ------
     "c4_quality_filter", "url_normalize", "dedup_keep_best",
     "dsir_importance", "seq_len_histogram", "semdedup", "bloom_prefilter",
+    "hll_distinct",
     # -- 1: implementation/oracle changed in round 5 ----------------------
     "link_pagerank", "a16_range_window", "ann_ivf_probe", "kmeans_train",
     # -- 1b: plans changed by the round-5 gram-builder binding
@@ -68,13 +69,13 @@ _DRIVER_PRIORITY = [
     #  a14_shift_compare, a1_grouped_accuracy, a2_rollup,
     #  a4_ratio_of_sums, a6_rolling_mean, a7_cumsum, j1_broadcast_lookup,
     #  j2_contains_join, j4_cross_expand, j6_anti_join, p4_substitute,
-    #  w2_seeded_split, x9_regex_field, doc_fingerprint; all covered
+    #  w2_seeded_split, x9_regex_field, doc_fingerprint, token_count_ws;
+    #  all covered
     #  every session by
     #  pytest parity + the committed full-catalog snapshot)
     "ann_cosine_topk", "dedup_exact", "dedup_minhash_signatures",
     "j8_pairwise_cosine", "lang_id", "p1_turn_merge",
     "stratified_sample", "text_quality",
-    "token_count_ws",
     "w6_interpolation_sweep", "x1_parse_imports", "x2_extract_answer",
     "x3_render", "x4_marker_split", "x6_char_spans",
     "x8_block_classify",

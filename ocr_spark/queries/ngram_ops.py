@@ -604,3 +604,121 @@ def bloom_prefilter(spark, sf_dir):
             (F.sum("hit") > 0).alias("is_candidate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic cross-engine HyperLogLog (distinct-shingle cardinality)
+# ---------------------------------------------------------------------------
+# Spark's approx_count_distinct is exactly this sketch, but its
+# internal hash is not reproducible outside the JVM, so it can never be
+# oracle-checked.  This is the cross-engine-deterministic analog
+# (Flajolet et al. 2007): register index = top 8 bits of the shared
+# 48-bit md5 hash, rho = leading-zero rank of the low 40 bits, and the
+# harmonic-mean denominator is accumulated as SUM(2^(41 - M_j)) in
+# exact integers — dyadic terms, order-free, bit-identical under any
+# partitioning / aggregation order in both engines.  The raw estimate
+# is emitted uncorrected (no float pow/ln anywhere); zero_registers is
+# exposed so a consumer can apply the standard linear-counting
+# small-range correction driver-side.
+
+_HLL_M = 256          # registers (b = 8 index bits)
+_HLL_WBITS = 40       # rank bits (48-bit hash minus 8 index bits)
+_HLL_ALPHA_PPM = 718273  # alpha_256 = 0.7213 / (1 + 1.079/256), in ppm
+#: clamp on (m^2 << 41) div Z so est = ALPHA * q never exceeds int64 in
+#: EITHER engine (Spark would wrap silently, DuckDB would promote to
+#: HUGEINT and diverge — the link_pagerank overflow class).  The clamp
+#: binds only past ~5e9 true distinct items (sketch saturation; est
+#: ceiling ~4.6e12), far beyond one 256-register sketch's useful range.
+_HLL_Q_CLAMP = 6420519800169  # (2^62) div ALPHA_PPM
+
+
+@_register(
+    "hll_distinct",
+    f"""
+WITH g AS (
+  SELECT lang,
+         CAST(list_sum([CAST(strpos('0123456789abcdef', substr(md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]), i2, 1)) - 1 AS BIGINT) * CAST(power(16, 12 - i2) AS BIGINT) FOR i2 IN generate_series(1, 12)]) AS BIGINT) AS h
+  FROM (
+    SELECT lang, words, unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i
+    FROM (SELECT lang, str_split(text, ' ') AS words FROM documents)
+  )
+),
+r AS (
+  SELECT lang,
+         h // {2 ** _HLL_WBITS} AS reg,
+         CASE WHEN h % {2 ** _HLL_WBITS} = 0 THEN {_HLL_WBITS + 1}
+              ELSE {_HLL_WBITS + 1} - length(bin(h % {2 ** _HLL_WBITS}))
+         END AS rho
+  FROM g
+),
+m AS (SELECT lang, reg, max(rho) AS mj FROM r GROUP BY lang, reg),
+z AS (
+  SELECT lang,
+         CAST({_HLL_M} - count(*) AS BIGINT) AS zero_registers,
+         CAST(sum(1::BIGINT << CAST({_HLL_WBITS + 1} - mj AS INT))
+              + ({_HLL_M} - count(*)) * (1::BIGINT << {_HLL_WBITS + 1})
+              AS BIGINT) AS z_scaled
+  FROM m GROUP BY lang
+)
+SELECT lang, zero_registers, z_scaled,
+       CAST(({_HLL_ALPHA_PPM} * least(
+               (1::BIGINT << {16 + _HLL_WBITS + 1}) // z_scaled,
+               {_HLL_Q_CLAMP})) // 1000000 AS BIGINT) AS est_distinct
+FROM z
+""",
+)
+def hll_distinct(spark, sf_dir):
+    """Per-language distinct-shingle cardinality via a deterministic
+    256-register HyperLogLog (Flajolet et al. 2007) over the shared
+    48-bit md5 hash: register = top 8 hash bits, rho = leading-zero
+    rank of the low 40 bits (41 for an all-zero tail), Z accumulated
+    as SUM(2^(41 - M_j)) in exact integers so the result is
+    bit-identical under any aggregation order.  Emits the register
+    state (z_scaled, zero_registers) plus the raw integer estimate
+    `est_distinct = alpha_256 * m^2 / Z` in fixed-point (no float
+    pow/ln; no small-range correction — apply linear counting
+    driver-side from zero_registers when est < 5m/2).  Accuracy is the
+    standard 1.04/sqrt(256) ~ 6.5% sigma, pinned against the exact
+    distinct count in tests/test_ngram_extras.py.
+
+    Scale shape: this is THE mergeable-sketch aggregation — the gram
+    stream reduces to <= langs x 256 register rows with map-side
+    partial max (each executor holds one 256-byte sketch per lang, the
+    shuffle carries registers, never items), then a <= langs-row
+    rollup.  Two bounded exchanges, no joins, no Python
+    (plan-guarded); the int64 overflow clamp is shared with the
+    oracle so neither engine can wrap or promote."""
+    docs = _t(spark, sf_dir, "documents")
+    # no doc_id join and no per-doc distinct: HLL is insensitive to
+    # duplicate items, so the gram stream carries lang straight off the
+    # scan — map-only until the register aggregation
+    g = bind_words(docs, "lang").select(
+        "lang", F.explode(F.expr(_GRAMS_EXPR)).alias("sh")
+    ).select("lang", str_hash(F.col("sh")).alias("h"))
+    w = F.col("h") % F.lit(2 ** _HLL_WBITS)
+    r = g.select(
+        "lang",
+        (F.col("h") / F.lit(2 ** _HLL_WBITS)).cast("long").alias("reg"),
+        F.when(w == 0, F.lit(_HLL_WBITS + 1))
+        .otherwise(
+            F.lit(_HLL_WBITS + 1) - F.length(F.expr(f"bin(h % {2 ** _HLL_WBITS})"))
+        )
+        .cast("int")
+        .alias("rho"),
+    )
+    m = r.groupBy("lang", "reg").agg(F.max("rho").alias("mj"))
+    z = m.groupBy("lang").agg(
+        (F.lit(_HLL_M) - F.count("*")).cast("long").alias("zero_registers"),
+        (
+            F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_WBITS + 1} - mj)"))
+            + (F.lit(_HLL_M) - F.count("*"))
+            * F.lit(1 << (_HLL_WBITS + 1)).cast("long")
+        ).cast("long").alias("z_scaled"),
+    )
+    est = F.expr(
+        f"cast(({_HLL_ALPHA_PPM} * least("
+        f"cast({1 << (16 + _HLL_WBITS + 1)} as bigint) div z_scaled, "
+        f"{_HLL_Q_CLAMP}L)) div 1000000 as bigint)"
+    )
+    return z.select("lang", "zero_registers", "z_scaled",
+                    est.alias("est_distinct"))

@@ -687,3 +687,16 @@ def test_bloom_prefilter_train_side_is_map_only(spark):
     assert p.count("Exchange hashpartitioning") == 1
     assert "partial_count" in p
     assert "Python" not in p
+
+
+def test_hll_distinct_is_two_bounded_exchanges_no_join(spark):
+    """hll_distinct: the gram stream reduces map-side to per-partition
+    register maxima — the plan must be join-free (lang rides the scan;
+    HLL needs no per-doc dedup) with exactly TWO hash exchanges, both
+    bounded (langs x 256 register rows, then langs rows) and both fed
+    by partial aggregates."""
+    p = _plan(QUERIES["hll_distinct"](spark, SF_DIR_ORACLE))
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "partial_max" in p
+    assert "Python" not in p
