@@ -729,28 +729,27 @@ def semdedup(spark, sf_dir):
         )
     cents = [list(r["m"]) for r in init]
 
-    def _d2(k: int):
-        lit = F.array(*[F.lit(int(x)).cast("long") for x in cents[k]])
-        return F.aggregate(
-            F.zip_with(F.col("m"), lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias(f"d2_{k}")
-
-    scored = v.select("vec_id", "m", *[_d2(k) for k in range(len(cents))])
-    d2_cols = [F.col(f"d2_{k}") for k in range(len(cents))]
-    # F.least needs >= 2 args; a 1-vector corpus has a single centroid
-    m_expr = F.least(*d2_cols) if len(d2_cols) > 1 else d2_cols[0]
-    # first match wins -> ties resolve to the smaller cid, matching
-    # the oracle's ORDER BY d2, cid
-    expr = None
-    for k in range(len(cents)):
-        cond = F.col(f"d2_{k}") == m_expr
-        expr = F.when(cond, F.lit(k)) if expr is None else expr.when(cond, F.lit(k))
-    assigned = scored.select(
+    # ONE nested lambda over a 2-D centroid literal, argmin via
+    # array_position(ds, array_min(ds)) (1-based FIRST occurrence →
+    # ties resolve to the smaller cid, matching the oracle's ORDER BY
+    # d2, cid).  The earlier form unrolled k separate 64-wide fold
+    # expressions plus a least()/when-chain over them — producing a
+    # generated-code body whose JIT dominated the query's first run
+    # (8.3 s cold vs 2.0 s warm in the same session); the nested
+    # lambda emits one small loop body instead.
+    cents_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"{int(x)}L" for x in c) + ")" for c in cents
+    ) + ")"
+    dists = F.expr(
+        f"transform({cents_sql},"
+        " c -> aggregate(zip_with(m, c, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (acc, x) -> acc + x))"
+    )
+    assigned = v.select("vec_id", "m", dists.alias("ds")).select(
         "vec_id",
         "m",
-        expr.cast("long").alias("cid"),
+        F.expr("cast(array_position(ds, array_min(ds)) - 1 as bigint)")
+        .alias("cid"),
         dot_micros(F.col("m"), F.col("m")).alias("n2"),
     )
     nz = assigned.filter(F.col("n2") > 0)
